@@ -1,0 +1,269 @@
+"""Distributed tile-grid generation (the reference's ``geet grid`` / G1, G2).
+
+Reference semantics (``/root/reference/geetiles/cmds.py:305-369``):
+
+1. the AOI centroid picks one UTM zone for the whole job;
+2. the AOI is projected to UTM; its envelope defines an integer grid of
+   ``chip_size_meters`` cells anchored at the envelope min corner;
+3. each grid corner point maps back to lon/lat; ±0.001° probes estimate local
+   meters-per-degree; the tile is the axis-aligned lon/lat box of side
+   ``(m-1)`` meters centered on the point (GEE degree-alignment requirement,
+   ``cmds.py:344-357``);
+4. tiles intersecting the AOI are kept **unclipped** (``cmds.py:366``);
+5. identifiers are content hashes of the (rounded) tile envelope
+   (``utils.py:232-240`` via ``partitions.py:49``); ``area_km2`` is measured
+   in the UTM CRS of the tile collection's envelope center
+   (``partitions.py:38-46``).
+
+Spark design: ``spark.range(gridx*gridy)`` → ``mapInPandas`` running the
+vectorized numpy kernel per Arrow batch (projection, probes, AOI filter,
+hashing) → a second cheap pass adds ``area_km2`` once the collection-envelope
+UTM zone is known (global agg).  No shuffle anywhere; the only global barrier
+is the 4-number bounds aggregate.  At 10^12 scale the range source partitions
+evenly and AQE needs nothing to do; the AOI ring is a task-closure broadcast.
+
+Row order parity: the reference enumerates ``itertools.product(range(gridx),
+range(gridy))`` and filters — ``row_idx`` preserves that order so the
+dataset-level hash (``utils.py:242-250``) reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import geom, hashing, utm
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("row_idx", T.LongType()),
+        T.StructField("tile_id", T.StringType()),
+        T.StructField("geometry_wkb", T.BinaryType()),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]
+)
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid of a simple ring (shapely ``.centroid`` parity
+    for the AOI-zone choice at ``cmds.py:319``)."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    cross = x * y2 - x2 * y
+    a = cross.sum() / 2.0
+    cx = ((x + x2) * cross).sum() / (6.0 * a)
+    cy = ((y + y2) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def make_grid(
+    spark: SparkSession,
+    aoi_ring: np.ndarray,
+    chip_size_meters: float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """G1: unclipped degree-aligned grid tiles intersecting the AOI.
+
+    Returns tiles(row_idx, tile_id, geometry_wkb, minx..maxy, area_km2)
+    ordered by row_idx (reference enumeration order).
+    """
+    aoi_ring = geom.ring_close(np.asarray(aoi_ring, dtype=np.float64))
+    cx, cy = polygon_centroid(aoi_ring)
+    zone = int(utm.utm_zone(np.float64(cx), np.float64(cy)))
+    south = cy < 0
+
+    ex, ny = utm.lonlat_to_utm(aoi_ring[:, 0], aoi_ring[:, 1], zone, south)
+    minx_utm, miny_utm = float(ex.min()), float(ny.min())
+    m = float(chip_size_meters)
+    gridx = int((float(ex.max()) - minx_utm) // m)
+    gridy = int((float(ny.max()) - miny_utm) // m)
+    total = gridx * gridy
+
+    sc = spark.sparkContext
+    b_aoi = sc.broadcast(aoi_ring)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring = b_aoi.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            gx = ids // gridy
+            gy = ids % gridy
+            rx = gx * m + minx_utm
+            ry = gy * m + miny_utm
+            clon, clat = utm.utm_to_lonlat(rx, ry, zone, south)
+            # ±0.001 deg probes (cmds.py:344-351)
+            x0, y0 = utm.lonlat_to_utm(clon, clat, zone, south)
+            x1, _ = utm.lonlat_to_utm(clon + 0.001, clat, zone, south)
+            _, y2 = utm.lonlat_to_utm(clon, clat + 0.001, zone, south)
+            mpd_lon = (x1 - x0) * 1000.0
+            mpd_lat = (y2 - y0) * 1000.0
+            dlon = ((m - 1.0) / 2.0) / mpd_lon
+            dlat = ((m - 1.0) / 2.0) / mpd_lat
+            bx0, bx1 = clon - dlon, clon + dlon
+            by0, by1 = clat - dlat, clat + dlat
+
+            keep = geom.boxes_intersect_polygon(bx0, by0, bx1, by1, ring)
+            if not keep.any():
+                continue
+            bx0, bx1, by0, by1 = bx0[keep], bx1[keep], by0[keep], by1[keep]
+            tile_ids = hashing.region_hash_batch(bx0, by0, bx1, by1)
+            wkbs = [
+                geom.polygon_to_wkb(
+                    np.array(
+                        [
+                            [x0_, y0_],
+                            [x0_, y1_],
+                            [x1_, y1_],
+                            [x1_, y0_],
+                            [x0_, y0_],
+                        ]
+                    )
+                )
+                for x0_, y0_, x1_, y1_ in zip(bx0, by0, bx1, by1)
+            ]
+            yield pd.DataFrame(
+                {
+                    "row_idx": ids[keep],
+                    "tile_id": tile_ids,
+                    "geometry_wkb": wkbs,
+                    "minx": bx0,
+                    "miny": by0,
+                    "maxx": bx1,
+                    "maxy": by1,
+                }
+            )
+
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, total, 1, num_partitions)
+    tiles = base.mapInPandas(gen, TILE_SCHEMA)
+    return add_area_km2(tiles).orderBy("row_idx")
+
+
+def add_area_km2(tiles: DataFrame) -> DataFrame:
+    """Second pass: measure tile areas in the UTM CRS of the collection's
+    envelope center (``partitions.py:38-46`` semantics — one zone for all)."""
+    b = tiles.agg(
+        F.min("minx").alias("minx"),
+        F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"),
+        F.max("maxy").alias("maxy"),
+    ).collect()[0]
+    env = geom.box_ring(b["minx"], b["miny"], b["maxx"], b["maxy"])
+    lon_c, lat_c = float(env[:, 0].mean()), float(env[:, 1].mean())
+    zone = int(utm.utm_zone(np.float64(lon_c), np.float64(lat_c)))
+    south = lat_c < 0
+
+    @F.pandas_udf(T.DoubleType())
+    def area_km2(
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series
+    ) -> pd.Series:
+        # project the 4 corners of each box, shoelace in UTM meters
+        x0 = minx.to_numpy()
+        y0 = miny.to_numpy()
+        x1 = maxx.to_numpy()
+        y1 = maxy.to_numpy()
+        lon = np.stack([x0, x0, x1, x1], axis=1).ravel()
+        lat = np.stack([y0, y1, y1, y0], axis=1).ravel()
+        ex, ny = utm.lonlat_to_utm(lon, lat, zone, south)
+        ex = ex.reshape(-1, 4)
+        ny = ny.reshape(-1, 4)
+        ex2 = np.roll(ex, -1, axis=1)
+        ny2 = np.roll(ny, -1, axis=1)
+        area = np.abs((ex * ny2 - ex2 * ny).sum(axis=1)) / 2.0
+        return pd.Series(area / 1e6)
+
+    return tiles.withColumn("area_km2", area_km2("minx", "miny", "maxx", "maxy"))
+
+
+def dataset_hash(tiles: DataFrame) -> str:
+    """Dataset-level content hash: per-tile ids joined in row order
+    (``utils.py:242-250``, baked into the geojson filename at
+    ``partitions.py:212-213``)."""
+    ids = [
+        r["tile_id"]
+        for r in tiles.select("tile_id", "row_idx").orderBy("row_idx").collect()
+    ]
+    return hashing.regionlist_hash(ids)
+
+
+def make_grid_clipped(
+    spark: SparkSession,
+    aoi_ring: np.ndarray,
+    rectangle_size: float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """G2 (``PartitionSet.make_grid``, ``partitions.py:112-147``): UTM squares
+    anchored at the AOI's UTM envelope min, clipped by the AOI, reprojected.
+
+    Differences vs G1: cells are squares of side ``rectangle_size`` in UTM
+    space (not degree-aligned), kept cells are **clipped** to the AOI
+    (``partitions.py:137-138``), and ``area_km2`` is the UTM area of the
+    clipped part (``partitions.py:94``-style, measured before reprojection).
+    """
+    aoi_ring = geom.ring_close(np.asarray(aoi_ring, dtype=np.float64))
+    # zone from the *region* envelope-ring mean (partitions.py:66-68)
+    env_c = geom.polygon_centroid_of_envelope_ring(aoi_ring)
+    zone = int(utm.utm_zone(np.float64(env_c[0]), np.float64(env_c[1])))
+    south = env_c[1] < 0
+    ex, ny = utm.lonlat_to_utm(aoi_ring[:, 0], aoi_ring[:, 1], zone, south)
+    aoi_utm = np.stack([ex, ny], axis=1)
+    minx, miny = float(ex.min()), float(ny.min())
+    maxx, maxy = float(ex.max()), float(ny.max())
+    m = float(rectangle_size)
+    nx = int(np.ceil((maxx - minx) / m))
+    nyc = int(np.ceil((maxy - miny) / m))
+    total = nx * nyc
+
+    sc = spark.sparkContext
+    b_aoi = sc.broadcast(aoi_utm)
+
+    schema = T.StructType(
+        TILE_SCHEMA.fields + [T.StructField("area_km2", T.DoubleType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_utm = b_aoi.value
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                # reference iterates slon (x) outer, slat (y) inner
+                gx, gy = divmod(int(i), nyc)
+                x0 = minx + gx * m
+                y0 = miny + gy * m
+                cell = geom.box_ring(x0, y0, x0 + m, y0 + m)
+                clipped = geom.clip_polygon_convex(ring_utm, cell)
+                if len(clipped) == 0:
+                    continue
+                area = geom.ring_area(clipped)
+                if area <= 0:
+                    continue
+                # reproject clipped ring to 4326
+                lon, lat = utm.utm_to_lonlat(clipped[:, 0], clipped[:, 1], zone, south)
+                ring4326 = np.stack([lon, lat], axis=1)
+                bx0, by0, bx1, by1 = geom.ring_bounds(ring4326)
+                rows.append(
+                    {
+                        "row_idx": int(i),
+                        "tile_id": hashing.region_hash_from_bounds(bx0, by0, bx1, by1),
+                        "geometry_wkb": geom.polygon_to_wkb(ring4326),
+                        "minx": bx0,
+                        "miny": by0,
+                        "maxx": bx1,
+                        "maxy": by1,
+                        "area_km2": area / 1e6,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, total, 1, num_partitions)
+    return base.mapInPandas(gen, schema).orderBy("row_idx")

@@ -1,0 +1,109 @@
+"""G3: random recursive partitions ("katana", ``geet random``).
+
+Reference (``/root/reference/geetiles/partitions.py:513-567``): recursively
+split the AOI (in UTM meters) across its shorter bbox dimension at a random
+fraction ``1 / (2*(1+(U-0.5)*2v))`` of the extent, stopping when
+``max(w, h) <= threshold`` or depth 250.  The reference draws from the global
+``np.random`` state (non-reproducible, ``partitions.py:533``); we use a
+seeded generator drawn in recursion order (depth-first, a-then-b) so fixtures
+are deterministic — documented divergence.
+
+The post-split "align to lonlat" step calls ``utils.align_to_lonlat``, which
+**does not exist** in the reference package; the exception handler at
+``partitions.py:102-104`` makes alignment a silent no-op.  We reproduce the
+actual behaviour (no alignment) faithfully (SURVEY §2.7 F10).
+
+One AOI splits into at most ~4^depth cells bounded by area/threshold² — a
+driver-side recursion, exactly like the reference; the *result* becomes a
+distributed DataFrame.  (Splitting a million AOIs would instead run the same
+kernel inside mapInPandas, one AOI per row.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..geo import geom, hashing, utm
+from .grid import TILE_SCHEMA, polygon_centroid
+
+
+def katana(
+    ring: np.ndarray,
+    threshold: float,
+    rng: np.random.Generator,
+    count: int = 0,
+    random_variance: float = 0.1,
+) -> list[np.ndarray]:
+    """Recursive binary split of a polygon ring (planar coords)."""
+    assert random_variance >= 0
+    minx, miny, maxx, maxy = geom.ring_bounds(ring)
+    width = maxx - minx
+    height = maxy - miny
+    random_factor = 2.0 * (1.0 + (rng.random() - 0.5) * random_variance * 2.0)
+
+    if max(width, height) <= threshold or count == 250:
+        return [ring]
+    if height >= width:
+        a = geom.box_ring(minx, miny, maxx, miny + height / random_factor)
+        b = geom.box_ring(minx, miny + height / random_factor, maxx, maxy)
+    else:
+        a = geom.box_ring(minx, miny, minx + width / random_factor, maxy)
+        b = geom.box_ring(minx + width / random_factor, miny, maxx, maxy)
+    result: list[np.ndarray] = []
+    for d in (a, b):
+        c = geom.clip_polygon_convex(ring, d)
+        if len(c) >= 4 and geom.ring_area(c) > 0:
+            result.extend(katana(c, threshold, rng, count + 1, random_variance))
+    return result
+
+
+def make_random_partitions(
+    spark: SparkSession,
+    aoi_ring: np.ndarray,
+    max_rectangle_size: float,
+    random_variance: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Katana-split the AOI (projected to UTM), reproject pieces to 4326,
+    return a tiles DataFrame (row_idx order = recursion order, matching the
+    reference's list order)."""
+    aoi_ring = geom.ring_close(np.asarray(aoi_ring, dtype=np.float64))
+    env_c = geom.polygon_centroid_of_envelope_ring(aoi_ring)
+    zone = int(utm.utm_zone(np.float64(env_c[0]), np.float64(env_c[1])))
+    south = env_c[1] < 0
+    ex, ny = utm.lonlat_to_utm(aoi_ring[:, 0], aoi_ring[:, 1], zone, south)
+    ring_utm = np.stack([ex, ny], axis=1)
+
+    rng = np.random.default_rng(seed)
+    parts = katana(ring_utm, max_rectangle_size, rng, 0, random_variance)
+
+    rows = []
+    for i, p in enumerate(parts):
+        area_km2 = geom.ring_area(p) / 1e6
+        lon, lat = utm.utm_to_lonlat(p[:, 0], p[:, 1], zone, south)
+        ring4326 = np.stack([lon, lat], axis=1)
+        bx0, by0, bx1, by1 = geom.ring_bounds(ring4326)
+        rows.append(
+            {
+                "row_idx": i,
+                "tile_id": hashing.region_hash_from_bounds(bx0, by0, bx1, by1),
+                "geometry_wkb": geom.polygon_to_wkb(ring4326),
+                "minx": bx0,
+                "miny": by0,
+                "maxx": bx1,
+                "maxy": by1,
+                "area_km2": area_km2,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    # fresh StructType: StructType.add mutates in place
+    schema = T.StructType(
+        TILE_SCHEMA.fields + [T.StructField("area_km2", T.DoubleType())]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+__all__ = ["katana", "make_random_partitions", "polygon_centroid"]

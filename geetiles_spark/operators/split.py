@@ -1,0 +1,155 @@
+"""W1: geographic band train/test/val split (``geet split``) + A3 foreign-mode.
+
+Reference (``/root/reference/geetiles/partitions.py:307-384``):
+
+1. per-tile "centroid" = mean of the *closed* 5-point envelope ring (the
+   first corner counts twice — ``partitions.py:322``);
+2. min-max normalize both axes over the collection (zero ranges -> 1,
+   ``partitions.py:344-345``); flip if angle < 0;
+3. direction weights: ``|angle| < π/4 → (|angle|/(π/4), 1)`` else
+   ``(sign(angle), (π/2-|angle|)/(π/4))`` (``partitions.py:339-342``);
+4. scalar projection ``plon·x + plat·y`` quantized by ``int(proj/(k/nbands))``
+   with k = the FIRST value in ``linspace(0.1, 50, 10000)`` that yields
+   exactly ``nbands`` distinct bands (``partitions.py:353-357``);
+5. bands sorted ascending get splits ``['train']*a+['test']*b+['val']*c``
+   cycled (``partitions.py:331-337,359-366``);
+6. ``split_per_partitions``: within each foreign group, everyone takes the
+   group's mode split, pandas ``value_counts`` tie order = count desc then
+   first occurrence (``partitions.py:383-384``).
+
+Spark design: the normalization bounds are one global agg; the projection is
+a pure column expression; the k-search needs ``n_distinct(band_id)`` per
+candidate k, which is a function of the ~N distinct projection values — we
+collect the projection column (8 bytes/tile) and run the vectorized exact
+search on the driver (at fixture scale; equivalent at any scale where the
+*distinct* projections fit on the driver).  For 10^12 tiles the documented
+approximation is quantile banding (``ntile(nbands)``) — exact-parity mode is
+what fixtures require.  Everything else stays distributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _direction_weights(angle: float) -> tuple[float, float]:
+    if angle < -np.pi / 2 or angle > np.pi / 2:
+        raise ValueError("angle must be between -pi/2 and pi/2")
+    if np.abs(angle) < np.pi / 4:
+        return float(np.abs(angle) / (np.pi / 4)), 1.0
+    return float(np.sign(angle)), float((np.pi / 2 - np.abs(angle)) / (np.pi / 4))
+
+
+def band_counts(train_pct: float, test_pct: float, val_pct: float) -> tuple[int, int, int]:
+    if not np.allclose(train_pct + test_pct + val_pct, 1, atol=1e-3):
+        raise ValueError("percentages must add up to one")
+    min_pct = np.min([i for i in [train_pct, test_pct, val_pct] if i != 0])
+    return (
+        int(np.round(train_pct / min_pct, 0)),
+        int(np.round(test_pct / min_pct, 0)),
+        int(np.round(val_pct / min_pct, 0)),
+    )
+
+
+def split(
+    tiles: DataFrame,
+    nbands: int,
+    angle: float,
+    train_pct: float,
+    test_pct: float,
+    val_pct: float,
+    split_col_name: str = "split",
+) -> DataFrame:
+    """Assign 'train'|'test'|'val' per tile by geographic banding."""
+    bands_train, bands_test, bands_val = band_counts(train_pct, test_pct, val_pct)
+    if bands_train + bands_test + bands_val > nbands:
+        raise ValueError(
+            "not enough bands for specified percentages. increase nbands to "
+            f"at least {bands_train + bands_test + bands_val}"
+        )
+    plon, plat = _direction_weights(angle)
+
+    # envelope-ring mean: (2*min + max + max + min)/5 per axis
+    cx = (2 * F.col("minx") + 2 * F.col("maxx") + F.col("minx")) / 5
+    cy = (2 * F.col("miny") + 2 * F.col("maxy") + F.col("miny")) / 5
+    with_c = tiles.withColumn("_cx", cx).withColumn("_cy", cy)
+
+    b = with_c.agg(
+        F.min("_cx").alias("x0"), F.max("_cx").alias("x1"),
+        F.min("_cy").alias("y0"), F.max("_cy").alias("y1"),
+    ).collect()[0]
+    rx = (b["x1"] - b["x0"]) or 1.0  # crng==0 -> 1 (partitions.py:344-345)
+    ry = (b["y1"] - b["y0"]) or 1.0
+
+    nx = (F.col("_cx") - F.lit(b["x0"])) / F.lit(rx)
+    ny = (F.col("_cy") - F.lit(b["y0"])) / F.lit(ry)
+    if angle < 0:
+        nx = 1 - nx
+        ny = 1 - ny
+    proj_col = F.lit(plon) * nx + F.lit(plat) * ny
+    with_proj = with_c.withColumn("_proj", proj_col)
+
+    # exact k-search on the collected projection vector (reference
+    # partitions.py:353-357) — vectorized over all 10k candidates at once
+    proj = np.array([r["_proj"] for r in with_proj.select("_proj").collect()])
+    band_id = None
+    for k in np.linspace(0.1, 50, 10000):
+        cand = (proj / (k / nbands)).astype(int)
+        cand = cand - cand.min()
+        if len(np.unique(cand)) == nbands:
+            band_id = cand
+            chosen_k = float(k)
+            break
+    if band_id is None:
+        raise ValueError(f"could not find k producing exactly {nbands} bands")
+
+    # distributed band assignment with the chosen k; cast('int') truncates
+    # toward zero exactly like numpy .astype(int) (negative proj happens when
+    # angle < -pi/4 -> plon = -1)
+    band_expr = (F.col("_proj") / F.lit(chosen_k / nbands)).cast("int") - F.lit(
+        int((proj / (chosen_k / nbands)).astype(int).min())
+    )
+
+    bands_ids = np.sort(np.unique(band_id))
+    splits = ["train"] * bands_train + ["test"] * bands_test + ["val"] * bands_val
+    splits = (splits * (len(bands_ids) // len(splits) + 1))[: len(bands_ids)]
+    mapping = {int(bid): s for bid, s in zip(bands_ids, splits)}
+
+    map_expr = F.create_map(
+        *[x for bid, s in mapping.items() for x in (F.lit(bid), F.lit(s))]
+    )
+    return (
+        with_proj.withColumn("_band", band_expr)
+        .withColumn(split_col_name, map_expr[F.col("_band")])
+        .drop("_cx", "_cy", "_proj", "_band")
+    )
+
+
+def split_per_partitions(
+    tiles_with_split: DataFrame,
+    foreign_col: str,
+    split_col: str = "split",
+    out_col: str | None = None,
+) -> DataFrame:
+    """A3: within each foreign group take the mode split; ties resolve by
+    first occurrence in row order (pandas ``value_counts`` parity,
+    ``partitions.py:383-384``).  Requires ``row_idx``."""
+    out_col = out_col or f"split_{foreign_col}"
+    counts = (
+        tiles_with_split.groupBy(foreign_col, split_col)
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("row_idx").alias("_first_seen"),
+        )
+    )
+    w = Window.partitionBy(foreign_col).orderBy(
+        F.col("_cnt").desc(), F.col("_first_seen").asc()
+    )
+    mode = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(foreign_col, F.col(split_col).alias(out_col))
+    )
+    return tiles_with_split.join(F.broadcast(mode), foreign_col, "left")

@@ -1,0 +1,145 @@
+"""Chip-extraction stage (the reference's ``geet download`` / §2.1 S4-S7, §2.2 K4).
+
+The reference downloads one GeoTIFF per tile from GEE via a process pool with
+retry + skip-if-exists + ``.nodata`` markers (``gee.py:153-368``).  Here the
+source is the deterministic synthetic generator on each dataset def
+(:mod:`.datasets`); the Spark shape is identical to a production fetch stage:
+
+  tiles --anti-join vs committed chips--> pending --mapInPandas(generate/
+  decode/post_process)--> chips rows --MERGE into catalog--> chips table
+
+Chips are rows ``(tile_id, dataset, media_ref, height, width, bands, dtype,
+bounds_*, band_names, payload, status)`` — raw C-order bytes instead of
+per-tile files, so a 10^12-scale run never touches a filesystem namespace.
+``status='nodata'`` replaces the ``.nodata`` marker files
+(``defs/globalfloods.py:148-150``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import Catalog
+from .datasets import get_dataset_definition
+
+CHIP_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_id", T.StringType()),
+        T.StructField("dataset", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("bounds_w", T.DoubleType()),
+        T.StructField("bounds_s", T.DoubleType()),
+        T.StructField("bounds_e", T.DoubleType()),
+        T.StructField("bounds_n", T.DoubleType()),
+        T.StructField("band_names", T.ArrayType(T.StringType())),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def generate_chips(
+    tiles: DataFrame,
+    dataset_name: str,
+    height: int = 100,
+    width: int = 100,
+) -> DataFrame:
+    """mapInPandas chip synthesis for every tile (no shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ddef = get_dataset_definition(dataset_name)  # per-executor lazy init
+        for pdf in batches:
+            rows = []
+            for tile_id, w_, s_, e_, n_ in zip(
+                pdf["tile_id"], pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"]
+            ):
+                arr = ddef.synth_chip(tile_id, height, width)
+                if arr is None:
+                    rows.append(
+                        _row(tile_id, dataset_name, 0, 0, 0, ddef.get_dtype(),
+                             w_, s_, e_, n_, [], b"", "nodata")
+                    )
+                    continue
+                arr = ddef.post_process_chip(arr)
+                bands = 1 if arr.ndim == 2 else arr.shape[2]
+                names = [f"b{i+1}" for i in range(bands)]
+                rows.append(
+                    _row(tile_id, dataset_name, arr.shape[0], arr.shape[1], bands,
+                         str(arr.dtype), w_, s_, e_, n_, names,
+                         np.ascontiguousarray(arr).tobytes(), "ok")
+                )
+            yield pd.DataFrame(rows)
+
+    return tiles.select("tile_id", "minx", "miny", "maxx", "maxy").mapInPandas(
+        gen, CHIP_SCHEMA
+    )
+
+
+def _row(tile_id, dataset, h, w, bands, dtype, bw, bs, be, bn, names, payload, status):
+    return {
+        "tile_id": tile_id,
+        "dataset": dataset,
+        "media_ref": f"{dataset}/{tile_id}",
+        "height": int(h),
+        "width": int(w),
+        "bands": int(bands),
+        "dtype": dtype,
+        "bounds_w": float(bw),
+        "bounds_s": float(bs),
+        "bounds_e": float(be),
+        "bounds_n": float(bn),
+        "band_names": names,
+        "payload": payload,
+        "status": status,
+    }
+
+
+def ingest_chips_resumable(
+    spark: SparkSession,
+    catalog: Catalog,
+    tiles: DataFrame,
+    dataset_name: str,
+    table: str = "chips",
+    height: int = 100,
+    width: int = 100,
+) -> int:
+    """Idempotent chip ingestion: anti-join against the committed chips table
+    (both 'ok' and 'nodata' rows count as done — ``gee.py:267-274`` +
+    ``must_get_gee_image`` semantics), generate only the gap, MERGE.
+
+    Returns the number of newly generated chips.
+    """
+    pending = tiles
+    if catalog.exists(table):
+        done = (
+            catalog.read(spark, table)
+            .filter(F.col("dataset") == dataset_name)
+            .select("tile_id")
+        )
+        pending = tiles.join(done, on="tile_id", how="left_anti")
+    new_chips = generate_chips(pending, dataset_name, height, width)
+    n = new_chips.count()
+    if n > 0:
+        catalog.merge_upsert(spark, new_chips, table, keys=["tile_id", "dataset"])
+        catalog.log_metrics(
+            spark, job=f"ingest:{dataset_name}", stage="chips",
+            df_out=catalog.read(spark, table), extra={"new_rows": n},
+        )
+    return n
+
+
+def decode_payload(payload: bytes, dtype: str, h: int, w: int, bands: int) -> np.ndarray:
+    arr = np.frombuffer(payload, dtype=np.dtype(dtype))
+    if bands == 1:
+        return arr.reshape(h, w)
+    return arr.reshape(h, w, bands)

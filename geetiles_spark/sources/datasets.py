@@ -1,0 +1,161 @@
+"""Dataset-definition plugin protocol + built-in defs (reference §2.8 parity).
+
+The reference resolves duck-typed plugin classes by name
+(``/root/reference/geetiles/utils.py:94-125``) with optional hooks
+(``get_dataset_name / get_gee_image / get_dtype / map_values / build /
+must_get_gee_image / post_process_tilefile / on_error /
+include_chip_in_dataset``).  GEE is not reachable here, so ``get_gee_image``
+is replaced by :meth:`DatasetDef.synth_chip` — a deterministic synthetic chip
+generator seeded by (tile_id, dataset) that emits the same shapes/dtypes the
+real source would (SURVEY §2.1 S7).  In production the generator body is an
+external fetch with retry inside the same ``mapInPandas`` stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..geo import maps
+
+ESA_CODES = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100]
+ESA_VALUE_MAP = {0: 0, 10: 1, 20: 2, 30: 3, 40: 4, 50: 5, 60: 6, 70: 7, 80: 8, 90: 9, 95: 10, 100: 11}
+
+
+def chip_seed(tile_id: str, dataset: str) -> int:
+    return int(hashlib.sha256(f"{dataset}/{tile_id}".encode()).hexdigest()[:16], 16)
+
+
+class DatasetDef:
+    """Base plugin. Subclasses override the hooks they need — same duck-typed
+    contract as the reference's ``DatasetDefinition`` classes."""
+
+    name = "base"
+    dtype = "uint8"
+    nodata_rate = 0.0
+
+    def get_dataset_name(self) -> str:
+        return self.name
+
+    def get_dtype(self) -> str:
+        return self.dtype
+
+    def map_values(self, array: np.ndarray) -> np.ndarray:
+        return array
+
+    def build(self) -> None:
+        """One-time bootstrap hook (``cmds.py:179-181``)."""
+
+    def include_chip_in_dataset(self, chip_dict: dict) -> bool:
+        """Final-assembly row filter hook (``cmds.py:527-529``)."""
+        return True
+
+    def post_process_chip(self, arr: np.ndarray) -> np.ndarray:
+        """Post-download rewrite hook (``gee.py:362-364``)."""
+        return arr
+
+    # ---- synthetic source (replaces get_gee_image, SURVEY §2.1 S7) --------
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        """Deterministic chip (ndarray or None for nodata) for a tile."""
+        raise NotImplementedError
+
+
+class EsaWorldCoverDef(DatasetDef):
+    """Label chips — raw ESA codes so ``map_values``
+    (``defs/esaworldcover.py:29-30``) is exercised."""
+
+    name = "esaworldcover-2020"
+    dtype = "uint8"
+    nodata_rate = 0.05
+
+    def map_values(self, array: np.ndarray) -> np.ndarray:
+        return maps.apply_value_map(array, dict(ESA_VALUE_MAP))
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        if self.nodata_rate and rng.random() < self.nodata_rate:
+            return None
+        # spatially-correlated class patches: coarse grid upsampled
+        block = 10
+        coarse = rng.choice(
+            np.asarray(ESA_CODES, dtype=np.uint8),
+            size=(height // block + 1, width // block + 1),
+        )
+        chip = np.kron(coarse, np.ones((block, block), dtype=np.uint8))
+        return chip[:height, :width]
+
+
+class Sentinel2RgbDef(DatasetDef):
+    """Image chips — 3-band uint8, sentinel2-rgb-median analog
+    (``defs/sentinel2rgbmedian2020.py``)."""
+
+    name = "sentinel2-rgb-median-2020"
+    dtype = "uint8"
+    nodata_rate = 0.0
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        base = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        return base
+
+
+class TreeCoverDef(DatasetDef):
+    """Range-map labels (``defs/treecover2020.py:22-24``)."""
+
+    name = "treecover-2020"
+    dtype = "uint8"
+
+    def map_values(self, array: np.ndarray) -> np.ndarray:
+        return maps.apply_range_map(array, [20, 40, 60, 80])
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        block = 20
+        coarse = rng.integers(0, 101, size=(height // block + 1, width // block + 1))
+        chip = np.kron(coarse, np.ones((block, block), dtype=np.int64))
+        return chip[:height, :width].astype(np.uint8)
+
+
+class HumanPopDef(DatasetDef):
+    """uint16 range-map labels with the include-hook
+    (``defs/humanpop2015.py``)."""
+
+    name = "humanpop-2015"
+    dtype = "uint16"
+
+    def map_values(self, array: np.ndarray) -> np.ndarray:
+        return maps.apply_range_map(array, list(range(1, 300, 10)))
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        return rng.integers(0, 500, size=(height, width), dtype=np.uint16)
+
+
+_REGISTRY: dict[str, type[DatasetDef]] = {
+    EsaWorldCoverDef.name: EsaWorldCoverDef,
+    Sentinel2RgbDef.name: Sentinel2RgbDef,
+    TreeCoverDef.name: TreeCoverDef,
+    HumanPopDef.name: HumanPopDef,
+}
+
+
+def get_dataset_definition(name: str) -> DatasetDef:
+    """Resolve a dataset def by name, with the reference's prefix fallback
+    (``utils.py:98-102``); arbitrary user classes register via
+    :func:`register`."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]()
+    prefix = name.split("-")[0]
+    for key, cls in _REGISTRY.items():
+        if key.split("-")[0] == prefix:
+            d = cls()
+            d.name = name
+            return d
+    raise ValueError(f"dataset {name} not found")
+
+
+def register(cls: type[DatasetDef]) -> type[DatasetDef]:
+    _REGISTRY[cls.name] = cls
+    return cls
