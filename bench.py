@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The geo_pipeline entry is the engine's north-star workload: Luxembourg AOI at
+1000 m -> 2774 tiles -> synthetic chips -> zonal label proportions -> foreign
+argmax join, i.e. tiles + join rows end-to-end.  The remaining entries cover
+the relational, dedup, similarity and event operators at sf scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from geetiles_spark.geo import wkt  # noqa: E402
+from geetiles_spark.operators import grid as gridop  # noqa: E402
+from geetiles_spark.operators import joins, random_parts, zonal  # noqa: E402
+from geetiles_spark.session import get_spark  # noqa: E402
+
+LUX_WKT = "/root/reference/data/luxembourg.wkt"
+
+
+def geo_pipeline(spark, chip_size=1000):
+    aoi = wkt.load_ring(LUX_WKT)
+    tiles = gridop.make_grid(spark, aoi, chip_size).cache()
+    n_tiles = tiles.count()
+    from geetiles_spark.sources import chips as chipsrc
+
+    ch = chipsrc.generate_chips(tiles, "esaworldcover-2020")
+    props = zonal.compute_proportions(tiles, ch, "esaworldcover-2020")
+    n_props = props.count()
+    foreign = random_parts.make_random_partitions(spark, aoi, 20000, seed=11)
+    j1 = joins.intersect_join_cells(tiles, foreign)
+    n_join = j1.count()
+    tiles.unpersist()
+    return n_tiles + n_props + n_join
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "events_sessions",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "doc_fingerprints",
+    "embedding_topk",
+    "embedding_neardup_pairs",
+    "pip_join",
+    "knn_points",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="geetiles-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    rows_total = 0
+
+    t0 = time.time()
+    rows_total += geo_pipeline(spark)
+    timings["geo_pipeline"] = round(time.time() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        rows_total += n
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (geo pipeline + relational/dedup/similarity/events)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows_out": rows_total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

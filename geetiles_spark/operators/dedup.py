@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (md5 / explode / groupBy) —
+no Python UDFs — so they scale with whole-stage codegen.  Hash family: the
+j-th hash of a shingle is ``md5(j || shingle)`` (lowercase hex); fixed-width
+hex compares lexicographically like the underlying 128-bit integer, so
+``min()`` is a valid minhash without any int conversion.  The identical
+expressions exist in ANSI SQL, which is what the DuckDB oracle runs.
+
+Operators:
+- exact duplicates          -> hash-groupBy on md5(text)
+- MinHash + LSH             -> shingle -> minhash signature -> band buckets
+                               -> candidate pairs (equi-join on band sig)
+- SimHash                   -> per-hex-position majority vote signature
+- n-gram Jaccard pairs      -> exact Jaccard via shingle self-join
+- embedding near-duplicates -> cosine pairs above a threshold (see
+                               similarity.py for the LSH-bucketed scale path)
+
+Scale notes: the shingle self-join shuffles on the shingle value; frequent
+shingles create skew — AQE skew-join splitting handles moderate skew, and a
+``distinct`` on (doc, shingle) pre-bounds the blow-up.  Band buckets shuffle
+on (band, signature), which is uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: content hash -> keeper id (min) + group size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def char_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct character n-gram shingles per doc (JVM-side sequence+substring)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+                    lambda i: F.substring(F.col(text_col), i, n),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — minhash over the md5 hash family."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(j) + "|"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = (
+        shingles.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"))
+    )
+    return sig
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band signature.
+
+    rows_per_band = num_hashes // bands.  Output (doc_a, doc_b), doc_a <
+    doc_b, distinct.  The pair join shuffles on (band, band_sig) — uniform
+    buckets, broadcast-free, scales linearly in candidate count.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(char_shingles(docs, shingle_n, id_col, text_col), num_hashes)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.band_sig")
+    a = band_rows.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_sig"
+    )
+    b = band_rows.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_sig"
+    )
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit j = majority vote of the
+    MSB of hex digit j of md5(token).  Output (doc_id, simhash: string of
+    '0'/'1' x16) — pure column expressions, reproducible in SQL."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    )
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs >= threshold.
+
+    |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.  Output
+    (doc_a, doc_b, jaccard) rounded to 6 — deterministic cross-engine since
+    counts are integers.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), on="gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -359,6 +359,76 @@ def aoi_filter(tiles: DataFrame, aoi_ring: np.ndarray) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# point-in-polygon join
+# --------------------------------------------------------------------------
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polys: DataFrame,
+    level: int | None = None,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Assign points to containing polygons: cell equi-join on the point's
+    cell vs the polygons' covering cells, then an exact vectorized
+    point-in-polygon refine per (partition, polygon) group.
+
+    ``polys`` needs (tile_id, geometry_wkb, minx..maxy).  Output:
+    (point_id, lon, lat, tile_id) — inner join (unmatched points drop).
+    Polygon rings are broadcast per closure (small dim side); at huge polygon
+    cardinality swap the broadcast for a join on tile_id.
+    """
+    level = level or choose_level(polys)
+    spark = points.sparkSession
+
+    @F.pandas_udf(T.LongType())
+    def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.cell_id(lon.to_numpy(), lat.to_numpy(), level))
+
+    pcells = points.select(
+        F.col(id_col).alias("point_id"),
+        F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"),
+    ).withColumn("cell", pt_cell("lon", "lat"))
+
+    gcells = _explode_cells(
+        polys.select(F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"),
+        level,
+    ).withColumnRenamed("key", "tile_id")
+
+    cand = pcells.join(gcells, "cell").select("point_id", "lon", "lat", "tile_id")
+
+    rings = {
+        r["tile_id"]: geom.wkb_to_polygon(bytes(r["geometry_wkb"]))
+        for r in polys.select("tile_id", "geometry_wkb").collect()
+    }
+    b = spark.sparkContext.broadcast(rings)
+
+    schema = T.StructType(
+        [
+            T.StructField("point_id", points.schema[id_col].dataType),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("tile_id", T.StringType()),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = b.value
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            pts = np.stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()], axis=1)
+            # vectorize per polygon group within the batch
+            for tid, idx in pdf.groupby("tile_id").indices.items():
+                keep[idx] = geom.points_in_polygon(pts[idx], rr[tid])
+            yield pdf[keep][["point_id", "lon", "lat", "tile_id"]]
+
+    return cand.mapInPandas(refine, schema)
+
+
+# --------------------------------------------------------------------------
 # kNN: cell-ring-expansion + partial top-k
 # --------------------------------------------------------------------------
 

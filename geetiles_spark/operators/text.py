@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines — all pure column
+expressions (whole-stage codegen, zero Python in the hot path), each with an
+exact ANSI-SQL twin for the DuckDB oracle.
+
+- quality scoring: length / token / stopword / punctuation ratios
+- language-ID: marker-word heuristic (deterministic, n-gram-free variant)
+- token counting: whitespace and regex ("BPE-ish") tokenizations
+- document fingerprinting: min-hash-of-shingles rolling fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+_LANG_MARKERS = [
+    ("en", ["the", "and", "of"]),
+    ("es", ["el", "la", "de"]),
+    ("fr", ["le", "la", "et"]),
+    ("de", ["der", "die", "und"]),
+]
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics (rounded to 6 for cross-engine parity)."""
+    toks = F.split(F.col(text_col), " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_m"),
+        n_toks.alias("n_tokens"),
+        F.round(n_chars / n_toks, 6).alias("avg_token_len"),
+        F.round(stop_hits / n_toks, 6).alias("stopword_ratio"),
+        F.round(alpha_chars / n_chars, 6).alias("alpha_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic marker-word language guess: the language with the most
+    marker-token hits wins; ties (and zero hits) fall back to 'und'.  Scored
+    per token so it is expressible identically in SQL."""
+    toks = F.split(F.col(text_col), " ")
+    s = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS
+    }
+    # deterministic cascade (earlier language wins ties) — identical CASE in SQL
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens and a regex word/number tokenization count."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, shingle_n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum md5 over all character
+    n-gram shingles (winnowing's global-min special case) plus the shingle
+    count — content-addressed near-identity for fast prefiltering."""
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (shingle_n - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(F.col(text_col), i, shingle_n)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(sh).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
