@@ -154,6 +154,97 @@ def intersection_area_convex(subject: np.ndarray, clip: np.ndarray) -> float:
     return ring_area(clipped)
 
 
+def clip_areas_ring_boxes(
+    ring: np.ndarray,
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+) -> np.ndarray:
+    """Vectorized |ring ∩ box_i| for one simple ring against N axis-aligned
+    boxes — a masked Sutherland–Hodgman running the four half-plane clips
+    (x>=minx, x<=maxx, y>=miny, y<=maxy) for all boxes simultaneously.
+
+    The per-vertex loop is over the (small) max vertex count; every step is
+    vectorized over the N boxes.  This is the hot kernel of the cell-join
+    refine: one call per (foreign geometry, Arrow batch) instead of one
+    python Sutherland–Hodgman per candidate pair (~600 us/pair measured).
+    """
+    ring = ring_close(np.asarray(ring, dtype=np.float64))[:-1]
+    v = len(ring)
+    n = len(minx)
+    # capacity: each half-plane clip of a simple polygon adds at most V_in
+    # vertices; 2*v + 8 covers four clips of typical tile/foreign shapes
+    cap = 2 * v + 8
+    xs = np.zeros((n, cap), dtype=np.float64)
+    ys = np.zeros((n, cap), dtype=np.float64)
+    xs[:, :v] = ring[:, 0][None, :]
+    ys[:, :v] = ring[:, 1][None, :]
+    cnt = np.full(n, v, dtype=np.int64)
+
+    # half-planes as (axis, sign, bound): keep points with sign*coord >= sign*bound
+    planes = [
+        (0, 1.0, np.asarray(minx, dtype=np.float64)),
+        (0, -1.0, np.asarray(maxx, dtype=np.float64)),
+        (1, 1.0, np.asarray(miny, dtype=np.float64)),
+        (1, -1.0, np.asarray(maxy, dtype=np.float64)),
+    ]
+
+    rows = np.arange(n)
+    for axis, sign, bound in planes:
+        m = int(cnt.max()) if n else 0
+        if m == 0:
+            break
+        oxs = np.zeros((n, cap), dtype=np.float64)
+        oys = np.zeros((n, cap), dtype=np.float64)
+        ocnt = np.zeros(n, dtype=np.int64)
+        # previous index per row: (j - 1) mod cnt
+        for j in range(m):
+            act = j < cnt
+            if not act.any():
+                break
+            pj = np.where(j == 0, cnt - 1, j - 1)
+            cx = xs[rows, np.minimum(j, cnt - 1)]
+            cy = ys[rows, np.minimum(j, cnt - 1)]
+            px = xs[rows, pj]
+            py = ys[rows, pj]
+            cc = cx if axis == 0 else cy
+            pc = px if axis == 0 else py
+            cur_in = sign * cc >= sign * bound
+            prev_in = sign * pc >= sign * bound
+            crossing = act & (cur_in != prev_in)
+            if crossing.any():
+                denom = cc - pc
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(denom != 0, (bound - pc) / np.where(denom == 0, 1.0, denom), 0.0)
+                ix = px + t * (cx - px)
+                iy = py + t * (cy - py)
+                w = crossing
+                oxs[rows[w], ocnt[w]] = ix[w]
+                oys[rows[w], ocnt[w]] = iy[w]
+                ocnt[w] += 1
+            keep = act & cur_in
+            if keep.any():
+                oxs[rows[keep], ocnt[keep]] = cx[keep]
+                oys[rows[keep], ocnt[keep]] = cy[keep]
+                ocnt[keep] += 1
+        xs, ys, cnt = oxs, oys, ocnt
+
+    # shoelace over valid prefix
+    m = int(cnt.max()) if n else 0
+    area = np.zeros(n, dtype=np.float64)
+    if m:
+        idx = np.arange(m)
+        valid = idx[None, :] < cnt[:, None]
+        nxt = (idx[None, :] + 1) % np.maximum(cnt, 1)[:, None]
+        x2 = xs[rows[:, None], nxt]
+        y2 = ys[rows[:, None], nxt]
+        contrib = (xs[:, :m] * y2 - x2 * ys[:, :m]) * valid
+        area = np.abs(contrib.sum(axis=1)) * 0.5
+    area[cnt < 3] = 0.0
+    return area
+
+
 # ------------------------------------------------------------ predicates ---
 
 
@@ -278,6 +369,125 @@ def boxes_intersect_polygon(
 
     out[idx] = inside | vert_in | seg
     return out
+
+
+class AOIIndex:
+    """Binned spatial index over one polygon ring — the engine's broadcast
+    'STRtree': classify a uniform G x G grid of bins over the ring's bbox as
+    interior / exterior / boundary (edges binned with conservative dilation),
+    so a batch of small boxes resolves mostly by bin lookup and only
+    boundary-bin boxes pay the exact segment test.
+
+    Replaces the O(N_boxes x E_edges) vectorized sweep whose temporaries
+    (~1 GB per 10k x 570 batch) were memory-bandwidth-bound; measured ~10x
+    faster on the Luxembourg AOI filter.
+    """
+
+    def __init__(self, ring: np.ndarray, grid: int = 256):
+        ring = ring_close(np.asarray(ring, dtype=np.float64))
+        self.ring = ring
+        self.grid = grid
+        self.minx, self.miny, self.maxx, self.maxy = ring_bounds(ring)
+        self.sx = (self.maxx - self.minx) / grid or 1.0
+        self.sy = (self.maxy - self.miny) / grid or 1.0
+
+        # boundary bins: sample each edge at <= half-bin spacing, dilate 1
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        seg_len = np.maximum(
+            np.abs(x2 - x1) / self.sx, np.abs(y2 - y1) / self.sy
+        )
+        nsamp = np.maximum((seg_len * 2).astype(np.int64) + 2, 2)
+        boundary = np.zeros((grid + 2, grid + 2), dtype=bool)  # 1-bin halo
+        offs = np.concatenate([[0], np.cumsum(nsamp)[:-1]])
+        total = int(nsamp.sum())
+        eidx = np.repeat(np.arange(len(nsamp)), nsamp)
+        tpar = (np.arange(total) - offs[eidx]) / np.maximum(nsamp[eidx] - 1, 1)
+        px = x1[eidx] + tpar * (x2[eidx] - x1[eidx])
+        py = y1[eidx] + tpar * (y2[eidx] - y1[eidx])
+        bx = np.clip(((px - self.minx) / self.sx).astype(np.int64), 0, grid - 1) + 1
+        by = np.clip(((py - self.miny) / self.sy).astype(np.int64), 0, grid - 1) + 1
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                boundary[bx + dx, by + dy] = True
+        self.boundary = boundary[1:-1, 1:-1]
+
+        # edge lists per boundary bin (for the exact path's edge pruning)
+        self.edge_bins: dict[tuple[int, int], np.ndarray] = {}
+        pairs = np.stack([bx - 1, by - 1], axis=1)
+        order = np.lexsort((eidx, pairs[:, 1], pairs[:, 0]))
+        sp = pairs[order]
+        se = eidx[order]
+        uniq, starts = np.unique(sp, axis=0, return_index=True)
+        for k, (bxx, byy) in enumerate(uniq):
+            end = starts[k + 1] if k + 1 < len(starts) else len(se)
+            self.edge_bins[(int(bxx), int(byy))] = np.unique(se[starts[k]:end])
+
+        # interior status of non-boundary bins via PIP of bin centers
+        cx = self.minx + (np.arange(grid) + 0.5) * self.sx
+        cy = self.miny + (np.arange(grid) + 0.5) * self.sy
+        gx, gy = np.meshgrid(cx, cy, indexing="ij")
+        pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        inside = np.zeros(len(pts), dtype=bool)
+        for s in range(0, len(pts), 8192):  # chunked: bounds memory
+            inside[s:s + 8192] = points_in_polygon(pts[s:s + 8192], ring)
+        self.interior = inside.reshape(grid, grid)
+
+    def boxes_intersect(
+        self, minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray
+    ) -> np.ndarray:
+        minx = np.asarray(minx, dtype=np.float64)
+        miny = np.asarray(miny, dtype=np.float64)
+        maxx = np.asarray(maxx, dtype=np.float64)
+        maxy = np.asarray(maxy, dtype=np.float64)
+        n = len(minx)
+        out = np.zeros(n, dtype=bool)
+        # bbox prefilter
+        cand = ~(
+            (maxx < self.minx) | (minx > self.maxx)
+            | (maxy < self.miny) | (miny > self.maxy)
+        )
+        if not cand.any():
+            return out
+        idx = np.nonzero(cand)[0]
+        g = self.grid
+        i0 = np.clip(((minx[idx] - self.minx) / self.sx).astype(np.int64), 0, g - 1)
+        i1 = np.clip(((maxx[idx] - self.minx) / self.sx).astype(np.int64), 0, g - 1)
+        j0 = np.clip(((miny[idx] - self.miny) / self.sy).astype(np.int64), 0, g - 1)
+        j1 = np.clip(((maxy[idx] - self.miny) / self.sy).astype(np.int64), 0, g - 1)
+
+        # fast path: box within one non-boundary bin span -> bin status
+        small = (i1 - i0 <= 1) & (j1 - j0 <= 1)
+        b00 = self.boundary[i0, j0]
+        b11 = self.boundary[i1, j1]
+        b01 = self.boundary[i0, j1]
+        b10 = self.boundary[i1, j0]
+        touches_boundary = b00 | b11 | b01 | b10
+        clean = small & ~touches_boundary
+        out[idx[clean]] = self.interior[i0[clean], j0[clean]]
+
+        # exact path: boundary-adjacent or large boxes
+        rest = np.nonzero(~clean)[0]
+        if len(rest):
+            ridx = idx[rest]
+            out[ridx] = boxes_intersect_polygon(
+                minx[ridx], miny[ridx], maxx[ridx], maxy[ridx], self.ring
+            )
+        return out
+
+
+_AOI_INDEX_CACHE: dict[bytes, AOIIndex] = {}
+
+
+def aoi_index(ring: np.ndarray, grid: int = 256) -> AOIIndex:
+    """Per-process cached AOIIndex (the ring is a task-closure broadcast;
+    the index builds once per executor)."""
+    key = np.ascontiguousarray(ring).tobytes()
+    idxobj = _AOI_INDEX_CACHE.get(key)
+    if idxobj is None:
+        idxobj = AOIIndex(ring, grid)
+        _AOI_INDEX_CACHE[key] = idxobj
+    return idxobj
 
 
 def polygon_centroid_of_envelope_ring(ring: np.ndarray) -> tuple[float, float]:

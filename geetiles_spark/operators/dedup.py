@@ -40,18 +40,19 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def char_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct character n-gram shingles per doc (JVM-side sequence+substring)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
+    """Distinct character n-gram shingles per doc.  Dedup happens *inside*
+    the row via ``array_distinct`` before the explode — same result as a
+    global (doc, shingle) DISTINCT but with zero shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
                     lambda i: F.substring(F.col(text_col), i, n),
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
+            )
+        ).alias("shingle"),
     )
 
 
@@ -169,13 +170,14 @@ def ngram_jaccard_pairs(
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                    )
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     inter = (

@@ -90,10 +90,18 @@ def make_grid(
     sc = spark.sparkContext
     b_aoi = sc.broadcast(aoi_ring)
 
+    # bijective scatter of cell ids across the range: contiguous ranges make
+    # partitions over the AOI's empty margins keep ~0 tiles while central
+    # ones keep ~100% (straggler skew); multiplying by a unit mod `total`
+    # interleaves space uniformly with zero shuffle
+    stride = 1_000_003
+    while total > 1 and np.gcd(stride, total) != 1:
+        stride += 1
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring = b_aoi.value
         for pdf in batches:
-            ids = pdf["id"].to_numpy()
+            ids = (pdf["id"].to_numpy() * stride) % max(total, 1)
             gx = ids // gridy
             gy = ids % gridy
             rx = gx * m + minx_utm
@@ -110,7 +118,7 @@ def make_grid(
             bx0, bx1 = clon - dlon, clon + dlon
             by0, by1 = clat - dlat, clat + dlat
 
-            keep = geom.boxes_intersect_polygon(bx0, by0, bx1, by1, ring)
+            keep = geom.aoi_index(ring).boxes_intersect(bx0, by0, bx1, by1)
             if not keep.any():
                 continue
             bx0, bx1, by0, by1 = bx0[keep], bx1[keep], by0[keep], by1[keep]
@@ -144,7 +152,12 @@ def make_grid(
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, total, 1, num_partitions)
     tiles = base.mapInPandas(gen, TILE_SCHEMA)
-    return add_area_km2(tiles).orderBy("row_idx")
+    # persist before the bounds agg so generation runs once, not once per
+    # downstream job; no orderBy — row order is carried by row_idx and a
+    # global sort here would add a range-partitioner sampling pass that
+    # re-executes the generator (observed 4x slowdown)
+    tiles = tiles.persist()
+    return add_area_km2(tiles)
 
 
 def add_area_km2(tiles: DataFrame) -> DataFrame:
@@ -266,4 +279,4 @@ def make_grid_clipped(
 
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, total, 1, num_partitions)
-    return base.mapInPandas(gen, schema).orderBy("row_idx")
+    return base.mapInPandas(gen, schema)

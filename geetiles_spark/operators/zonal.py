@@ -57,17 +57,35 @@ def compute_proportions(
 
     Returns (tile_id, props).  'nodata' chips are skipped (no row), matching
     the reference's missing-file behaviour.
+
+    Plan shape: when the chips table carries the denormalized tile geometry
+    (the engine's own chips always do), the stage is **join-free** — one
+    mapInPandas scan over chips.  A tiles join here would shuffle the (large)
+    payload column: at 100 TB that shuffle is the plan's whole cost, and on
+    slow disks it anti-scales (measured 3x regression going 4 -> 16 cores on
+    a ~100 MB/s disk).  The legacy join path remains for external chips
+    tables without geometry.
     """
-    joined = tiles.select("tile_id", "geometry_wkb").join(
-        chips.filter(
-            (F.col("dataset") == dataset_name) & (F.col("status") == "ok")
-        ).select("tile_id", "payload", "dtype", "height", "width", "bands"),
-        on="tile_id",
-        how="inner",
+    filtered = chips.filter(
+        (F.col("dataset") == dataset_name) & (F.col("status") == "ok")
+    )
+    if "geometry_wkb" in chips.columns:
+        joined = filtered.select(
+            "tile_id", "geometry_wkb", "payload", "dtype", "height", "width", "bands"
+        )
+    else:
+        joined = tiles.select("tile_id", "geometry_wkb").join(
+            filtered.select("tile_id", "payload", "dtype", "height", "width", "bands"),
+            on="tile_id",
+            how="inner",
+        )
+
+    ddef = (
+        get_dataset_definition(dataset_name)
+        if isinstance(dataset_name, str) else dataset_name
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ddef = get_dataset_definition(dataset_name)
         for pdf in batches:
             out_ids = []
             out_props = []

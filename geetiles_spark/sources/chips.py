@@ -31,6 +31,11 @@ from .datasets import get_dataset_definition
 CHIP_SCHEMA = T.StructType(
     [
         T.StructField("tile_id", T.StringType()),
+        # tile geometry denormalized into the chip row: zonal stats and any
+        # per-chip geometry math then run join-free — at 100 TB a payload
+        # shuffle join is the single most expensive plan shape (columnar
+        # stores prune the column when unused)
+        T.StructField("geometry_wkb", T.BinaryType()),
         T.StructField("dataset", T.StringType()),
         T.StructField("media_ref", T.StringType()),
         T.StructField("height", T.IntegerType()),
@@ -56,17 +61,23 @@ def generate_chips(
 ) -> DataFrame:
     """mapInPandas chip synthesis for every tile (no shuffle)."""
 
+    # resolve on the driver and ship the plugin object in the closure
+    # (cloudpickle) so user-registered defs work on executors — the Spark
+    # analog of the reference persisting the def .py next to outputs
+    ddef = get_dataset_definition(dataset_name) if isinstance(dataset_name, str) else dataset_name
+    dataset_name = ddef.get_dataset_name()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ddef = get_dataset_definition(dataset_name)  # per-executor lazy init
         for pdf in batches:
             rows = []
-            for tile_id, w_, s_, e_, n_ in zip(
-                pdf["tile_id"], pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"]
+            for tile_id, wkb, w_, s_, e_, n_ in zip(
+                pdf["tile_id"], pdf["geometry_wkb"],
+                pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"],
             ):
                 arr = ddef.synth_chip(tile_id, height, width)
                 if arr is None:
                     rows.append(
-                        _row(tile_id, dataset_name, 0, 0, 0, ddef.get_dtype(),
+                        _row(tile_id, wkb, dataset_name, 0, 0, 0, ddef.get_dtype(),
                              w_, s_, e_, n_, [], b"", "nodata")
                     )
                     continue
@@ -74,20 +85,21 @@ def generate_chips(
                 bands = 1 if arr.ndim == 2 else arr.shape[2]
                 names = [f"b{i+1}" for i in range(bands)]
                 rows.append(
-                    _row(tile_id, dataset_name, arr.shape[0], arr.shape[1], bands,
+                    _row(tile_id, wkb, dataset_name, arr.shape[0], arr.shape[1], bands,
                          str(arr.dtype), w_, s_, e_, n_, names,
                          np.ascontiguousarray(arr).tobytes(), "ok")
                 )
             yield pd.DataFrame(rows)
 
-    return tiles.select("tile_id", "minx", "miny", "maxx", "maxy").mapInPandas(
-        gen, CHIP_SCHEMA
-    )
+    return tiles.select(
+        "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy"
+    ).mapInPandas(gen, CHIP_SCHEMA)
 
 
-def _row(tile_id, dataset, h, w, bands, dtype, bw, bs, be, bn, names, payload, status):
+def _row(tile_id, wkb, dataset, h, w, bands, dtype, bw, bs, be, bn, names, payload, status):
     return {
         "tile_id": tile_id,
+        "geometry_wkb": bytes(wkb),
         "dataset": dataset,
         "media_ref": f"{dataset}/{tile_id}",
         "height": int(h),

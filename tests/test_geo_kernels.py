@@ -167,6 +167,31 @@ class TestHashing:
                 minx[i], miny[i], maxx[i], maxy[i]
             )
 
+    def test_fast_formatter_matches_numpy_str(self):
+        # region_hash_batch uses a replica of numpy's array2string for the
+        # positional regime with a str() fallback for the scientific regime
+        # — property-test both against the reference recipe
+        rng = np.random.default_rng(123)
+        vals = np.concatenate(
+            [
+                rng.uniform(-180, 180, 4000),
+                rng.integers(-100, 100, 500).astype(float),
+                rng.uniform(-1e-5, 1e-5, 500),  # forces scientific notation
+                np.round(rng.uniform(-10, 10, 1000), 2),
+                np.zeros(100),
+                rng.uniform(5e-5, 1e-3, 400),  # ratio > 1000 cases
+            ]
+        )
+        rng.shuffle(vals)
+        n = len(vals) // 4
+        minx, miny = vals[:n], vals[n : 2 * n]
+        maxx, maxy = vals[2 * n : 3 * n], vals[3 * n : 4 * n]
+        batch = hashing.region_hash_batch(minx, miny, maxx, maxy)
+        for i in range(n):
+            assert batch[i] == self._reference_hash(
+                geom.box_ring(*np.round([minx[i], miny[i], maxx[i], maxy[i]], 5))
+            )
+
     def test_regionlist_hash(self):
         ids = ["a" * 13, "b" * 13]
         s = " ".join(ids)

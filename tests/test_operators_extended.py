@@ -1,0 +1,246 @@
+"""Tests for mosaic, assembly, select, streaming ingest, multimodal and the
+dedup/similarity scale-path operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geetiles_spark.geo import geom
+from geetiles_spark.operators import (
+    assemble,
+    dedup,
+    joins,
+    mosaic,
+    multimodal,
+    select as selectop,
+    similarity,
+    zonal,
+)
+from geetiles_spark.operators import split as splitop
+from geetiles_spark.sources import chips as chipsrc
+
+
+class TestMosaic:
+    def test_blocks_cover_all_tiles(self, spark, tiles_box):
+        ch = chipsrc.generate_chips(tiles_box, "esaworldcover-2020")
+        blocks, meta = mosaic.mosaic_blocks(ch, meters_per_pixel=20)
+        pdf = blocks.toPandas()
+        assert len(pdf) > 0
+        canvas = mosaic.stitch_blocks(pdf, meta)
+        assert canvas.shape == (meta["dim_y"], meta["dim_x"])
+        # most of the canvas is covered by non-zero pixels (grid tiles tile
+        # the AOI bbox almost completely; ESA codes include 0 so "covered"
+        # means > 50%)
+        assert (canvas != 0).mean() > 0.5
+
+    def test_rotate_nn_identity(self):
+        img = np.arange(36, dtype=np.uint8).reshape(6, 6)
+        np.testing.assert_array_equal(mosaic.rotate_nn(img, 0.0), img)
+        r90 = mosaic.rotate_nn(img, 90.0)
+        assert r90.shape == img.shape
+        # rotating by 90 four times returns interior pixels to start
+        r = img
+        for _ in range(4):
+            r = mosaic.rotate_nn(r, 90.0)
+        np.testing.assert_array_equal(r[1:-1, 1:-1], img[1:-1, 1:-1])
+
+    def test_resize_nn(self):
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = mosaic.resize_nn(img, (8, 8))
+        assert out.shape == (8, 8)
+        np.testing.assert_array_equal(out[::2, ::2], img)
+
+
+class TestAssemble:
+    def test_dataset_rows(self, spark, tiles_box, foreign_box):
+        img_ds = "sentinel2-rgb-median-2020"
+        lbl_ds = "esaworldcover-2020"
+        chips = chipsrc.generate_chips(tiles_box, img_ds).unionByName(
+            chipsrc.generate_chips(tiles_box, lbl_ds)
+        )
+        props = zonal.compute_proportions(tiles_box, chips, lbl_ds)
+        fj = joins.foreign_proportions_broadcast(tiles_box, foreign_box)
+        sp = splitop.split(tiles_box, 8, 0.3, 0.5, 0.3, 0.2).select("tile_id", "split")
+        ds = assemble.assemble_dataset(
+            tiles_box, chips, img_ds, lbl_ds, props=props, foreign=fj, split_col=sp
+        )
+        rows = ds.collect()
+        n_img = chips.filter(
+            (F.col("dataset") == img_ds) & (F.col("status") == "ok")
+        ).count()
+        assert len(rows) == n_img
+        r = rows[0]
+        chip = np.frombuffer(r["chip"], dtype=np.int16).reshape(
+            r["chip_height"], r["chip_width"], r["chip_bands"]
+        )
+        assert chip.shape == (100, 100, 3)
+        if r["label"] is not None:
+            lbl = np.frombuffer(r["label"], dtype=np.int16).reshape(
+                r["label_height"], r["label_width"]
+            )
+            # esaworldcover map_values outputs class indices 0..11
+            assert lbl.max() <= 11
+        assert r["split"] in ("train", "test", "val")
+        assert r["foreign_id"] is not None
+        # center parity: mean of closed envelope ring
+        t = tiles_box.filter(F.col("tile_id") == r["chip_id"]).first()
+        assert r["center_lon"] == pytest.approx((3 * t["minx"] + 2 * t["maxx"]) / 5)
+        assert r["corner_nw_lat"] == t["maxy"]
+
+    def test_include_hook_filters(self, spark, tiles_box):
+        from geetiles_spark.sources.datasets import DatasetDef, register
+
+        @register
+        class RejectAllDef(DatasetDef):
+            name = "rejectall-2020"
+            def synth_chip(self, tile_id, height=100, width=100):
+                import numpy as np
+                return np.zeros((height, width), dtype=np.uint8)
+            def include_chip_in_dataset(self, chip_dict):
+                return False
+
+        chips = chipsrc.generate_chips(tiles_box, "rejectall-2020")
+        ds = assemble.assemble_dataset(tiles_box, chips, "rejectall-2020", "rejectall-2020")
+        assert ds.count() == 0
+
+    def test_splits_projection(self, spark, tiles_box):
+        sp = splitop.split(tiles_box, 8, 0.3, 0.5, 0.3, 0.2)
+        proj = assemble.save_splits_projection(sp)
+        assert set(proj.columns) == {"tile_id", "split"}
+
+
+class TestSelect:
+    def test_select_partitions(self, spark, aoi_box):
+        # three geometries: inside, overlapping, far away
+        inside = geom.box_ring(6.095, 49.695, 6.105, 49.705)
+        overlap = geom.box_ring(6.11, 49.71, 6.13, 49.73)
+        far = geom.box_ring(8.0, 50.0, 8.1, 50.1)
+        pdf = pd.DataFrame(
+            {"geom_wkb": [geom.polygon_to_wkb(g) for g in (inside, overlap, far)]}
+        )
+        geoms = spark.createDataFrame(pdf)
+        out = selectop.select_partitions(geoms, aoi_box).collect()
+        assert len(out) == 2
+        for r in out:
+            assert len(r["tile_id"]) == 13
+            assert r["area_km2"] > 0
+
+
+class TestStreaming:
+    def test_available_now_incremental(self, spark, tiles_box, tmp_path):
+        from geetiles_spark.sources import docs as docsrc
+        from geetiles_spark.streaming import ingest
+
+        docs_dir = str(tmp_path / "docs")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        d1 = docsrc.generate_docs(tiles_box.limit(10), ["esaworldcover-2020"])
+        d1.write.mode("append").parquet(docs_dir)
+        n1 = ingest.stream_media_refs(spark, docs_dir, sink, ckpt)
+        assert n1 > 0
+        got1 = spark.read.parquet(sink).count()
+        assert got1 > 0
+        # second pass with no new files: nothing reprocessed
+        ingest.stream_media_refs(spark, docs_dir, sink, ckpt)
+        assert spark.read.parquet(sink).count() == got1
+        # drop new docs -> only the delta is processed
+        d2 = docsrc.generate_docs(tiles_box.limit(20), ["sentinel2-rgb-median-2020"])
+        d2.write.mode("append").parquet(docs_dir)
+        ingest.stream_media_refs(spark, docs_dir, sink, ckpt)
+        got2 = spark.read.parquet(sink).count()
+        assert got2 > got1
+
+
+class TestMultimodal:
+    def test_image_stats(self, spark, tiles_box):
+        ch = chipsrc.generate_chips(tiles_box, "sentinel2-rgb-median-2020")
+        stats = multimodal.image_stats(ch).collect()
+        assert len(stats) == tiles_box.count()
+        for r in stats:
+            assert 0 <= r["mean"] <= 255
+            assert r["min"] >= 0 and r["max"] <= 255
+
+    def test_resize_chips(self, spark, tiles_box):
+        ch = chipsrc.generate_chips(tiles_box, "esaworldcover-2020")
+        out = multimodal.resize_chips(ch, 25, 25).first()
+        assert out["height"] == 25 and out["width"] == 25
+        arr = np.frombuffer(out["payload"], dtype=np.uint8)
+        assert len(arr) == 25 * 25
+
+    def test_unknown_codec_raises(self, spark, tiles_box):
+        ch = chipsrc.generate_chips(tiles_box.limit(1), "esaworldcover-2020")
+        with pytest.raises(Exception, match="codec"):
+            multimodal.image_stats(ch, fmt="jpeg").collect()
+
+
+class TestSimilarityScalePath:
+    def test_lsh_pairs_subset_of_brute(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_pairs(emb, 0.35).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.lsh_cosine_pairs(
+                emb, 0.35, dim=64, n_planes=4, n_tables=8
+            ).collect()
+        }
+        assert lsh <= brute  # refine guarantees precision; recall < 1 is ok
+        if brute:
+            # theory: p = 1 - acos(0.35)/pi = 0.614 per plane;
+            # recall = 1-(1-p^4)^8 = 0.71 at the threshold, higher above it
+            assert len(lsh) / len(brute) > 0.5
+
+    def test_hyperplane_buckets_deterministic(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        b1 = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_buckets(emb, 64).collect()}
+        b2 = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_buckets(emb, 64).collect()}
+        assert b1 == b2
+
+
+class TestDedupUnits:
+    def test_exact_groups(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "aa", "aa"]}
+        )
+        docs = spark.createDataFrame(pdf)
+        got = {
+            r["content_hash"]: (r["keeper_id"], r["group_size"])
+            for r in dedup.exact_duplicates(docs).collect()
+        }
+        sizes = sorted(v[1] for v in got.values())
+        assert sizes == [1, 3]
+        keeper = [v for v in got.values() if v[1] == 3][0]
+        assert keeper[0] == 1
+
+    def test_simhash_similar_docs_close(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over dog",
+                    "the quick brown fox jumps over cat",
+                    "completely different words entirely here now",
+                ],
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+        def ham(a, b):
+            return sum(x != y for x, y in zip(a, b))
+        assert ham(sig[1], sig[2]) <= ham(sig[1], sig[3])
+
+    def test_jaccard_exact_value(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d e", "a b c d x"],
+            }
+        )
+        docs = spark.createDataFrame(pdf)
+        got = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+        # trigram sets: {abc,bcd,cde} vs {abc,bcd,cdx} -> jaccard 2/4
+        assert len(got) == 1
+        assert got[0]["jaccard"] == pytest.approx(0.5)

@@ -166,7 +166,11 @@ class TestJoins:
             assert gid == (str(exp_id) if exp_id != -1 else "-1")
             assert set(gprops) == set(str(k) for k in exp_props)
             for k in gprops:
-                assert gprops[k] == pytest.approx(exp_props[k], abs=1e-12)
+                # 1e-9: sliver intersections make weights sensitive to the
+                # float-level op order, which differs between the vectorized
+                # masked clip (Spark) and the scalar clip (oracle) — both
+                # correct; GEOS would differ from either the same way
+                assert gprops[k] == pytest.approx(exp_props[k], abs=1e-9)
 
     def test_strategies_agree_j2(self, tiles_box, foreign_box):
         a = {
