@@ -672,6 +672,193 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# scalar-kernel queries (numpy kernels vs SQL CASE oracles)
+# --------------------------------------------------------------------------
+
+
+def _q_range_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_range_map numpy kernel (geo/maps.py) driven through a pandas
+    UDF over part sizes; oracle is the equivalent CASE cascade."""
+    from pyspark.sql import types as Ty
+
+    from geetiles_spark.geo import maps as gmaps
+
+    edges = [5, 15, 25, 35, 45]
+
+    @F.pandas_udf(Ty.LongType())
+    def rm(v: pd.Series) -> pd.Series:
+        return pd.Series(gmaps.apply_range_map(v.to_numpy().astype(float), edges)).astype("int64")
+
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", rm(F.col("p_size")).alias("size_class"))
+        .orderBy("p_partkey")
+    )
+
+
+_RANGE_MAP_SQL = """
+SELECT p_partkey,
+  CASE WHEN p_size >= 45 THEN 5 WHEN p_size >= 35 THEN 4 WHEN p_size >= 25 THEN 3
+       WHEN p_size >= 15 THEN 2 WHEN p_size >= 5 THEN 1 ELSE 0 END AS size_class
+FROM part ORDER BY p_partkey
+"""
+
+
+def _q_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_value_map numpy kernel (ESA code map) through a pandas UDF;
+    the raw code is synthesized from p_size."""
+    from pyspark.sql import types as Ty
+
+    from geetiles_spark.geo import maps as gmaps
+    from geetiles_spark.sources.datasets import ESA_VALUE_MAP
+
+    @F.pandas_udf(Ty.LongType())
+    def vm(v: pd.Series) -> pd.Series:
+        return pd.Series(
+            gmaps.apply_value_map(v.to_numpy().astype(np.int64), dict(ESA_VALUE_MAP))
+        ).astype("int64")
+
+    codes = (F.col("p_size") % 11) * 10  # 0,10,...,100
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", vm(codes).alias("class_id"))
+        .orderBy("p_partkey")
+    )
+
+
+_VALUE_MAP_SQL = """
+SELECT p_partkey,
+  CASE (p_size % 11) * 10
+    WHEN 0 THEN 0 WHEN 10 THEN 1 WHEN 20 THEN 2 WHEN 30 THEN 3 WHEN 40 THEN 4
+    WHEN 50 THEN 5 WHEN 60 THEN 6 WHEN 70 THEN 7 WHEN 80 THEN 8 WHEN 90 THEN 9
+    WHEN 100 THEN 11 ELSE 0 END AS class_id
+FROM part ORDER BY p_partkey
+"""
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), max_dist=6
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_pairs_sql() -> str:
+    base = _simhash_sql().replace("ORDER BY doc_id", "")
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash,{j+1},1) <> substr(b.simhash,{j+1},1) "
+        "THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH sigs AS ({base})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {ham} <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+def _q_interval_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 flood-style interval+spatial join over synthesized footprints."""
+    polys = spark.createDataFrame(_boxes_pdf())
+    ev = _t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS event_id",
+        "(n_nationkey % 5) * 2 + 0.6 AS minx",
+        "(n_nationkey div 5) * 2 + 0.6 AS miny",
+        "(n_nationkey % 5) * 2 + 2.1 AS maxx",
+        "(n_nationkey div 5) * 2 + 2.1 AS maxy",
+        "CASE WHEN n_nationkey % 3 = 0 THEN '2019-05-01' ELSE '2020-05-01' END AS start",
+        "'2020-06-01' AS `end`",
+    )
+    out = joins.interval_spatial_join(polys, ev, "2020-01-01", "2020-12-31")
+    return out.select(
+        F.col("tile_id").cast("int").alias("box_id"), "event_id"
+    ).orderBy("box_id", "event_id")
+
+
+_INTERVAL_SPATIAL_SQL = """
+WITH boxes AS (
+  SELECT k AS box_id,
+         (k % 5) * 2 + 0.123457 AS minx, (k // 5) * 2 + 0.123457 AS miny,
+         (k % 5) * 2 + 0.123457 + 1.75 AS maxx, (k // 5) * 2 + 0.123457 + 1.75 AS maxy
+  FROM generate_series(0, 24) g(k)
+), ev AS (
+  SELECT n_nationkey AS event_id,
+         (n_nationkey % 5) * 2 + 0.6 AS minx, (n_nationkey // 5) * 2 + 0.6 AS miny,
+         (n_nationkey % 5) * 2 + 2.1 AS maxx, (n_nationkey // 5) * 2 + 2.1 AS maxy,
+         CASE WHEN n_nationkey % 3 = 0 THEN '2019-05-01' ELSE '2020-05-01' END AS start,
+         '2020-06-01' AS "end"
+  FROM nation
+)
+SELECT b.box_id, e.event_id
+FROM boxes b JOIN ev e
+  ON b.minx <= e.maxx AND b.maxx >= e.minx
+ AND b.miny <= e.maxy AND b.maxy >= e.miny
+WHERE e.start >= '2020-01-01' AND e."end" <= '2020-12-31'
+ORDER BY b.box_id, e.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries for the remaining operators
+# --------------------------------------------------------------------------
+
+
+def _q_geo_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = _fixture_tiles(spark)
+    ch = chipsrc.generate_chips(tiles, LABELS)
+    blocks, _meta = multimodal_mosaic_blocks(ch)
+    return blocks.select(
+        "bx", "by", "h", "w", F.crc32(F.col("payload")).alias("payload_crc")
+    ).orderBy("bx", "by")
+
+
+def multimodal_mosaic_blocks(ch):
+    from geetiles_spark.operators import mosaic as mosaicop
+
+    return mosaicop.mosaic_blocks(ch, meters_per_pixel=20)
+
+
+def _q_geo_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geetiles_spark.operators import assemble
+
+    tiles = _fixture_tiles(spark)
+    img = chipsrc.generate_chips(tiles, "sentinel2-rgb-median-2020")
+    lbl = chipsrc.generate_chips(tiles, LABELS)
+    props = zonal.compute_proportions(tiles, lbl, LABELS)
+    ds = assemble.assemble_dataset(
+        tiles, img.unionByName(lbl), "sentinel2-rgb-median-2020", LABELS, props=props
+    )
+    return ds.select(
+        "chip_id", "chip_height", "chip_width", "chip_bands",
+        F.round("center_lat", 9).alias("center_lat"),
+        F.round("center_lon", 9).alias("center_lon"),
+        F.crc32(F.col("chip")).alias("chip_crc"),
+        F.crc32(F.col("label")).alias("label_crc"),
+    ).orderBy("chip_id")
+
+
+def _q_geo_random_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = random_parts.make_random_partitions(spark, AOI_BOX, 1200, seed=13)
+    return f.select(
+        "row_idx", "tile_id", F.round("area_km2", 9).alias("area_km2")
+    ).orderBy("row_idx")
+
+
+def _q_geo_clipped_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = gridop.make_grid_clipped(spark, AOI_BOX, 700)
+    return t.select(
+        "row_idx", "tile_id", F.round("area_km2", 9).alias("area_km2")
+    ).orderBy("row_idx")
+
+
+def _q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), 0.4, dim=64, n_planes=4, n_tables=8
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -698,6 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        # scalar kernels + additional joins with SQL twins
+        "pixel_range_map": _q_range_map,
+        "pixel_value_map": _q_value_map,
+        "simhash_hamming_pairs": _q_simhash_pairs,
+        "interval_spatial_join": _q_interval_spatial,
         # spatial with SQL twins
         "pip_join": _q_pip_join,
         "knn_points": _q_knn,
@@ -708,6 +900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_foreign_props": _q_geo_foreign_props,
         "geo_split_bands": _q_geo_split,
         "geo_chip_stats": _q_geo_chip_stats,
+        "geo_mosaic_blocks": _q_geo_mosaic,
+        "geo_dataset_assembly": _q_geo_assembly,
+        "geo_random_partitions": _q_geo_random_partitions,
+        "geo_clipped_grid": _q_geo_clipped_grid,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
     }
 
 
@@ -729,6 +926,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _FINGERPRINTS_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
         "embedding_neardup_pairs": _EMB_NEARDUP_SQL,
+        "pixel_range_map": _RANGE_MAP_SQL,
+        "pixel_value_map": _VALUE_MAP_SQL,
+        "simhash_hamming_pairs": _simhash_pairs_sql(),
+        "interval_spatial_join": _INTERVAL_SPATIAL_SQL,
         "pip_join": _PIP_SQL,
         "knn_points": _knn_sql(),
         # geo_* entries intentionally omitted: Krüger-series UTM math is not

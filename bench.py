@@ -30,10 +30,9 @@ def geo_pipeline(spark, chip_size=1000):
     aoi = wkt.load_ring(LUX_WKT)
     tiles = gridop.make_grid(spark, aoi, chip_size).cache()
     n_tiles = tiles.count()
-    from geetiles_spark.sources import chips as chipsrc
-
-    ch = chipsrc.generate_chips(tiles, "esaworldcover-2020")
-    props = zonal.compute_proportions(tiles, ch, "esaworldcover-2020")
+    # fused chip-acquisition + zonal stats: the payload never crosses the
+    # Arrow boundary (chaining generate->zonal serializes every chip twice)
+    props = zonal.compute_proportions_fused(tiles, "esaworldcover-2020")
     n_props = props.count()
     foreign = random_parts.make_random_partitions(spark, aoi, 20000, seed=11)
     j1 = joins.intersect_join_cells(tiles, foreign)

@@ -99,6 +99,48 @@ class Catalog:
         merged = kept.unionByName(df)
         return self.write(merged, name, {"op": "merge", "keys": keys})
 
+    # ----------------------------------------------- tiles hash guard ------
+
+    def save_partitionset(
+        self, spark: SparkSession, tiles: DataFrame, name: str
+    ) -> str:
+        """K1: content-addressed tiles save.  The dataset hash (ordered
+        per-tile hashes, ``utils.py:242-250``) is stored in the commit
+        metadata — the snapshot analog of the reference's hash-in-filename
+        (``partitions.py:212-213``)."""
+        from .operators.grid import dataset_hash
+
+        h = dataset_hash(tiles)
+        snap = self.write(tiles, name, meta={"dataset_hash": h, "op": "save_as"})
+        return snap
+
+    def save_partitionset_guarded(
+        self, spark: SparkSession, tiles: DataFrame, name: str
+    ) -> str:
+        """K1's in-place save guard (``partitions.py:220-228``): refuse when
+        the recomputed geometry hash differs from the committed one — column
+        additions are fine, geometry edits are not."""
+        from .operators.grid import dataset_hash
+
+        committed = self._committed_hash(name)
+        h = dataset_hash(tiles)
+        if committed is not None and committed != h:
+            raise ValueError(
+                "cannot save since geometries changed, use save_partitionset "
+                "to create a new partition set"
+            )
+        return self.write(tiles, name, meta={"dataset_hash": h, "op": "save"})
+
+    def _committed_hash(self, name: str) -> str | None:
+        snap = self.current_snapshot(name)
+        if snap is None:
+            return None
+        p = os.path.join(self._table_dir(name), f"{snap}.commit.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("dataset_hash")
+
     # --------------------------------------------------------- lineage -----
 
     def log_metrics(

@@ -149,6 +149,37 @@ def simhash_signatures(
     return agg.select("doc_id", bits.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_dist: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance <= max_dist.
+
+    The pair scan is a crossJoin on the (small) signature table — at scale,
+    band the signature (split into max_dist+1 segments; equal-segment
+    equi-join guarantees recall 1 by pigeonhole) exactly like MinHash-LSH
+    banding.  Pure column expressions, SQL-twin-able.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = sum(
+        F.when(
+            F.substring("sa", j + 1, 1) != F.substring("sb", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(16)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_dist)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -528,6 +528,71 @@ def point_in_polygon_join(
 
 
 # --------------------------------------------------------------------------
+# J5: interval + spatial theta join (flood-event style)
+# --------------------------------------------------------------------------
+
+
+def interval_spatial_join(
+    tiles: DataFrame,
+    events: DataFrame,
+    start_lit: str,
+    end_lit: str,
+) -> DataFrame:
+    """Per tile, events whose geometry bbox intersects the tile AND whose
+    [start, end] interval is contained in [start_lit, end_lit] — the flood
+    catalog join (``defs/globalfloods.py:61-80``: ``geometry.intersects``
+    ∧ string-date containment).
+
+    ``events`` needs (event_id, minx, miny, maxx, maxy, start, end) with
+    ISO-string dates (the reference compares dates as strings).  The event
+    catalog is the small side -> broadcast; the spatial predicate is a bbox
+    theta join (events in the reference carry bbox-like footprints).
+    """
+    e = events.filter(
+        (F.col("start") >= F.lit(start_lit)) & (F.col("end") <= F.lit(end_lit))
+    ).select(
+        F.col("event_id"),
+        F.col("minx").alias("e_minx"), F.col("miny").alias("e_miny"),
+        F.col("maxx").alias("e_maxx"), F.col("maxy").alias("e_maxy"),
+    )
+    t = tiles.select("tile_id", "minx", "miny", "maxx", "maxy")
+    return t.join(
+        F.broadcast(e),
+        (F.col("minx") <= F.col("e_maxx")) & (F.col("maxx") >= F.col("e_minx"))
+        & (F.col("miny") <= F.col("e_maxy")) & (F.col("maxy") >= F.col("e_miny")),
+        "inner",
+    ).select("tile_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# J6: group-membership filter
+# --------------------------------------------------------------------------
+
+
+def filter_groups(tiles: DataFrame, groups: list[str], group_col: str = "group") -> DataFrame:
+    """Keep tiles whose comma-separated ``group`` tags overlap ``groups``
+    (``partitions.py:405-413``) — pure column expression."""
+    return tiles.filter(
+        F.arrays_overlap(
+            F.split(F.col(group_col), ","),
+            F.array(*[F.lit(g) for g in groups]),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W3: seeded shuffle + limit (download-queue shape)
+# --------------------------------------------------------------------------
+
+
+def shuffle_limit(df: DataFrame, n: int | None, seed: int = 42) -> DataFrame:
+    """``np.random.permutation(gtiles)[:max_downloads]`` (``gee.py:196-199``)
+    as a deterministic Spark plan: order by seeded rand, take n."""
+    out = df.orderBy(F.rand(seed))
+    return out.limit(n) if n is not None else out
+
+
+# --------------------------------------------------------------------------
 # kNN: partial top-k tree-reduce (+ cell-ring pruning at scale)
 # --------------------------------------------------------------------------
 

@@ -104,6 +104,50 @@ def compute_proportions(
     return joined.mapInPandas(run, PROPS_SCHEMA)
 
 
+def compute_proportions_fused(
+    tiles: DataFrame,
+    dataset_name,
+    height: int = 100,
+    width: int = 100,
+) -> DataFrame:
+    """lp.compute fused with chip acquisition: synthesize (or fetch) the chip
+    and histogram it in the SAME Arrow batch — the payload never crosses the
+    JVM<->Python boundary at all.
+
+    Chaining ``generate_chips`` -> ``compute_proportions`` moves every chip
+    through Arrow twice (Python->JVM->Python); at 224x224 chips that is
+    ~100 KB/tile of pure serialization — measured 3x the kernel cost.  This
+    is the plan shape for any produce-then-reduce pair whose intermediate
+    isn't being persisted; when chips ARE persisted, write them from this
+    same pass (fetch+stats+write in one stage) rather than re-reading.
+    """
+    from ..sources.datasets import get_dataset_definition
+
+    ddef = (
+        get_dataset_definition(dataset_name)
+        if isinstance(dataset_name, str) else dataset_name
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_props = [], []
+            for tile_id, wkb in zip(pdf["tile_id"], pdf["geometry_wkb"]):
+                arr = ddef.synth_chip(tile_id, height, width)
+                if arr is None:
+                    continue
+                arr = ddef.post_process_chip(arr)
+                if getattr(ddef, "zero_sum_is_nodata", False) and arr.sum() == 0:
+                    continue
+                ring = geom.wkb_to_polygon(bytes(wkb))
+                out_ids.append(tile_id)
+                out_props.append(proportions_kernel(arr, ddef, ring))
+            if out_ids:  # an empty frame's props column would lose its
+                yield pd.DataFrame({"tile_id": out_ids, "props": out_props})
+                # map dtype and break the Arrow conversion
+
+    return tiles.select("tile_id", "geometry_wkb").mapInPandas(run, PROPS_SCHEMA)
+
+
 def expand_props(df: DataFrame, col: str = "props", keys: list[str] | None = None) -> DataFrame:
     """K3 / F7: map column -> one double column per key, fillna(0)
     (``utils.expand_dict_column``, ``utils.py:186-196``).

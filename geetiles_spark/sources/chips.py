@@ -82,6 +82,15 @@ def generate_chips(
                     )
                     continue
                 arr = ddef.post_process_chip(arr)
+                # A5 zero-sum check (defs/globalfloods.py:114-150,
+                # defs/firecci51.py:45-53): defs may declare all-zero chips
+                # as permanently-empty -> 'nodata' status row
+                if getattr(ddef, "zero_sum_is_nodata", False) and arr.sum() == 0:
+                    rows.append(
+                        _row(tile_id, wkb, dataset_name, 0, 0, 0, ddef.get_dtype(),
+                             w_, s_, e_, n_, [], b"", "nodata")
+                    )
+                    continue
                 bands = 1 if arr.ndim == 2 else arr.shape[2]
                 names = [f"b{i+1}" for i in range(bands)]
                 rows.append(
@@ -155,3 +164,55 @@ def decode_payload(payload: bytes, dtype: str, h: int, w: int, bands: int) -> np
     if bands == 1:
         return arr.reshape(h, w)
     return arr.reshape(h, w, bands)
+
+
+def merge_band_parts(parts: DataFrame) -> DataFrame:
+    """W7: stitch ``__partNN`` band slices back into one chip
+    (``gee.py:53-81``): per tile, parts sorted by part id, bands
+    concatenated in order, band_names unioned.
+
+    ``parts`` = chips rows + ``part_id:int`` where each payload holds a
+    band-contiguous slice.  Plan: groupBy(tile_id, dataset) +
+    sort_array(collect_list(struct(part_id, ...))) then a numpy concat per
+    Arrow batch.
+    """
+    g = parts.groupBy("tile_id", "dataset").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("part_id", "payload", "bands", "band_names")
+            )
+        ).alias("ps"),
+        F.first("geometry_wkb").alias("geometry_wkb"),
+        F.first("height").alias("height"),
+        F.first("width").alias("width"),
+        F.first("dtype").alias("dtype"),
+        F.first("bounds_w").alias("bounds_w"),
+        F.first("bounds_s").alias("bounds_s"),
+        F.first("bounds_e").alias("bounds_e"),
+        F.first("bounds_n").alias("bounds_n"),
+        F.first("media_ref").alias("media_ref"),
+        F.first("status").alias("status"),
+    )
+
+    def stitch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arrs = []
+                names: list[str] = []
+                for p in r.ps:
+                    a = decode_payload(
+                        p["payload"], r.dtype, r.height, r.width, p["bands"]
+                    )
+                    arrs.append(a if a.ndim == 3 else a[:, :, None])
+                    names.extend(p["band_names"])
+                merged = np.concatenate(arrs, axis=2)
+                rows.append(
+                    _row(r.tile_id, r.geometry_wkb, r.dataset, r.height, r.width,
+                         merged.shape[2], r.dtype, r.bounds_w, r.bounds_s,
+                         r.bounds_e, r.bounds_n, names,
+                         np.ascontiguousarray(merged).tobytes(), r.status)
+                )
+            yield pd.DataFrame(rows)
+
+    return g.mapInPandas(stitch, CHIP_SCHEMA)

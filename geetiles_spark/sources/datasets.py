@@ -133,11 +133,48 @@ class HumanPopDef(DatasetDef):
         return rng.integers(0, 500, size=(height, width), dtype=np.uint16)
 
 
+class S1GrdDef(DatasetDef):
+    """SAR backscatter analog with the dB->uint8 post-process (F17,
+    ``defs/s1grd.py:80-100``): clip dB to [-30, 0], scale to [0, 255]."""
+
+    name = "s1grd-2020"
+    dtype = "uint8"
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        # synthetic backscatter in dB, [-35, 5]
+        return rng.uniform(-35.0, 5.0, size=(height, width)).astype(np.float32)
+
+    def post_process_chip(self, arr: np.ndarray) -> np.ndarray:
+        db = np.clip(arr, -30.0, 0.0)
+        return ((db + 30.0) / 30.0 * 255.0).astype(np.uint8)
+
+
+class FloodLikeDef(DatasetDef):
+    """Flood-catalog analog exercising the zero-sum band drop (A5,
+    ``defs/globalfloods.py:114-150``): chips whose pixels all sum to zero
+    become 'nodata' rows (the engine's ``.nodata`` marker equivalent)."""
+
+    name = "globalfloods-2020"
+    dtype = "uint8"
+
+    zero_sum_is_nodata = True  # A5: generate stage turns all-zero chips into 'nodata'
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        if rng.random() < 0.3:
+            # dry tile: all-zero -> the zero-sum check marks it nodata
+            return np.zeros((height, width), dtype=np.uint8)
+        return (rng.random((height, width)) < 0.1).astype(np.uint8)
+
+
 _REGISTRY: dict[str, type[DatasetDef]] = {
     EsaWorldCoverDef.name: EsaWorldCoverDef,
     Sentinel2RgbDef.name: Sentinel2RgbDef,
     TreeCoverDef.name: TreeCoverDef,
     HumanPopDef.name: HumanPopDef,
+    S1GrdDef.name: S1GrdDef,
+    FloodLikeDef.name: FloodLikeDef,
 }
 
 

@@ -1,7 +1,7 @@
 """Two-parallelism scaling evidence (BASELINE.json north rule).
 
 No real cluster exists in this sandbox, so the N -> 4N executor criterion is
-evidenced by running the SAME north-star job at local[8] and local[32] on
+evidenced by running the SAME north-star job at local[2] and local[8] on
 identical input and reporting throughput at both plus scaling efficiency
 (target >= 0.8).  The job is the engine's headline pipeline: Luxembourg AOI
 -> UTM grid tiles -> synthetic chips -> zonal label proportions -> argmax
@@ -23,7 +23,7 @@ import os
 import subprocess
 import sys
 
-CHIP_SIZE_M = 100  # ~260k tiles over Luxembourg -> enough work to amortize fixed stage overheads at both parallelism levels
+CHIP_SIZE_M = 150  # ~117k tiles over Luxembourg: ~400 core-s of kernel work, enough to amortize stage overheads at both parallelism levels
 
 _RUN_SRC = r"""
 import json, sys, time
@@ -46,8 +46,7 @@ aoi = wkt.load_ring("/root/reference/data/luxembourg.wkt")
 t0 = time.time()
 tiles = gridop.make_grid(spark, aoi, chip, num_partitions=cpus * 4)
 n_tiles = tiles.count()
-ch = chipsrc.generate_chips(tiles, "esaworldcover-2020", height=224, width=224)
-props = zonal.compute_proportions(tiles, ch, "esaworldcover-2020")
+props = zonal.compute_proportions_fused(tiles, "esaworldcover-2020", height=320, width=320)
 n_props = props.count()
 foreign = random_parts.make_random_partitions(spark, aoi, 20000, seed=11)
 j1 = joins.intersect_join_cells(tiles, foreign)
@@ -87,38 +86,39 @@ def main():
     # interleave configs so hypervisor CPU-steal bursts (observed: steal up
     # to ~25% of user time on this sandbox) don't bias one config; report
     # best-of-3 with its steal fraction
-    raw: dict[int, list[dict]] = {4: [], 16: []}
+    raw: dict[int, list[dict]] = {2: [], 8: []}
     for _ in range(3):
-        for cpus in (4, 16):
+        for cpus in (2, 8):
             raw[cpus].append(run_once(cpus))
             print(json.dumps(raw[cpus][-1]), flush=True)
     results = {}
-    for cpus in (4, 16):
+    for cpus in (2, 8):
         best = min(raw[cpus], key=lambda r: r["wall_sec"])
         best["all_runs_sec"] = [r["wall_sec"] for r in raw[cpus]]
         best["all_steal_pct"] = [r["steal_pct"] for r in raw[cpus]]
         results[cpus] = best
 
-    thr8 = results[4]["throughput_rows_per_sec"]
-    thr32 = results[16]["throughput_rows_per_sec"]
+    thr8 = results[2]["throughput_rows_per_sec"]
+    thr32 = results[8]["throughput_rows_per_sec"]
     eff = round(thr32 / (4 * thr8), 3)
 
     md = f"""# BENCH — two-parallelism scaling evidence
 
 North rule (BASELINE.json): throughput scaling efficiency >= 0.8 from N to
 4N executors.  Sandbox has no cluster; per the driver instruction this is
-evidenced by the same job at `local[4]` vs `local[16]` on identical input.
+evidenced by the same job at `local[2]` vs `local[8]` on identical input.
 
-**Job**: Luxembourg AOI -> UTM grid @ {CHIP_SIZE_M} m ({results[4]['rows']} output rows:
-tiles + zonal-proportion rows + argmax-join rows), synthetic 224x224 chips,
-zonal label proportions, cell-indexed argmax intersect join.  Python workers
+**Job**: Luxembourg AOI -> UTM grid @ {CHIP_SIZE_M} m ({results[2]['rows']} output rows:
+tiles + zonal-proportion rows + argmax-join rows), fused synthetic 320x320
+chip acquisition + zonal label proportions (payload never crosses the Arrow
+boundary), cell-indexed argmax intersect join.  Python workers
 warmed before timing; each run in a fresh subprocess (fresh JVM); best of 3
 interleaved runs (hypervisor steal per run reported).
 
 | config | wall (s) | rows out | throughput (rows/s) | runs (s) | steal % per run |
 |---|---|---|---|---|---|
-| local[4]  (N)  | {results[4]['wall_sec']} | {results[4]['rows']} | {thr8} | {results[4]['all_runs_sec']} | {results[4]['all_steal_pct']} |
-| local[16] (4N) | {results[16]['wall_sec']} | {results[16]['rows']} | {thr32} | {results[16]['all_runs_sec']} | {results[16]['all_steal_pct']} |
+| local[2]  (N)  | {results[2]['wall_sec']} | {results[2]['rows']} | {thr8} | {results[2]['all_runs_sec']} | {results[2]['all_steal_pct']} |
+| local[8]  (4N) | {results[8]['wall_sec']} | {results[8]['rows']} | {thr32} | {results[8]['all_runs_sec']} | {results[8]['all_steal_pct']} |
 
 **Scaling efficiency (N -> 4N): {eff}**  (target >= 0.8)
 
@@ -126,7 +126,7 @@ Method notes:
 - both configs execute the identical logical plan on identical input;
   results are bit-identical (same tile ids, proportions, join rows) — only
   parallelism changes;
-- `spark.sql.shuffle.partitions` scales with cores (4 vs 16); the grid
+- `spark.sql.shuffle.partitions` scales with cores (2 vs 8); the grid
   source uses 4 partitions/core so every stage has enough splits;
 - the dominant stages (grid generation, chip synthesis + zonal kernel) are
   shuffle-free mapInPandas over a `spark.range` source — the shape that
