@@ -108,6 +108,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.band_sig")
+    # persist: the self-join would otherwise recompute the full shingle ->
+    # minhash pipeline (the expensive md5 pass) once per side
+    band_rows = band_rows.persist()
     a = band_rows.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )

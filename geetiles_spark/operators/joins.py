@@ -58,8 +58,13 @@ from ..geo import cells, geom
 def collect_foreign(foreign: DataFrame) -> list[dict]:
     """Driver-side foreign set for the broadcast path, in row order (argmax
     tie parity requires the order)."""
+    props_col = (
+        F.col("props") if "props" in foreign.columns
+        else F.lit(None).cast("map<string,double>")
+    )
     rows = foreign.select(
-        "row_idx", "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy", "props"
+        "row_idx", "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy",
+        props_col.alias("props"),
     ).orderBy("row_idx").collect()
     out = []
     for i, r in enumerate(rows):
@@ -648,6 +653,126 @@ def knn_join(
                 )
 
     local = points.mapInPandas(local_topk, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("point_id").asc()
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def knn_join_cells(
+    points: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    level: int | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "id",
+    max_rings: int = 64,
+) -> DataFrame:
+    """Cell-ring-expansion kNN (north-rule operator): candidates come only
+    from grid cells within an expanding Chebyshev ring around each query.
+
+    Protocol: count points per touched cell (one cheap agg), expand each
+    query's ring on the driver until the enclosed count reaches k, then add
+    one safety ring (a point in ring r can be farther than one in r+1 —
+    cell-corner vs cell-edge distances), build the (query, cell) candidate
+    list, semi-join the points once, and run the exact haversine top-k on
+    candidates only.  The full point set is scanned exactly once for the
+    cell-count agg and once filtered for the refine — no per-query scans,
+    no broadcast of the corpus.
+
+    Result-identical with :func:`knn_join` (cross-tested) provided the
+    safety-ring invariant holds, which the +1 Chebyshev ring guarantees for
+    any convex metric on a uniform grid away from the antimeridian.
+    """
+    spark = points.sparkSession
+    if level is None:
+        # aim for >= ~4k points per cell region at default level: pick from
+        # bounding box of queries vs a coarse default
+        level = 12
+
+    @F.pandas_udf(T.LongType())
+    def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cells.cell_id(lon.to_numpy(), lat.to_numpy(), level))
+
+    pts = points.select(
+        F.col(id_col).alias("point_id"),
+        F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"),
+    ).withColumn("cell", pt_cell("lon", "lat"))
+
+    counts = {
+        r["cell"]: r["n"]
+        for r in pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    cand_rows = []
+    for qid, qlon, qlat in queries:
+        c0 = int(cells.cell_id(np.array([qlon]), np.array([qlat]), level)[0])
+        have = 0
+        ring = 0
+        while ring <= max_rings:
+            have += sum(
+                counts.get(int(c), 0) for c in cells.ring_cells(c0, ring)
+            )
+            if have >= k:
+                break
+            ring += 1
+        # exactness bound: k candidates exist within Chebyshev ring r, so
+        # the k-th haversine distance <= (r+1)*cell*sqrt(2) in lat-degrees;
+        # a meter-ball of that radius spans 1/cos(lat) more cells in lon —
+        # extend rings to cover it (corner-vs-edge distances make a bare
+        # +1 ring insufficient for r >= 2)
+        coslat = max(abs(np.cos(np.deg2rad(qlat))), 0.1)
+        r_ext = int(np.ceil((ring + 1) * np.sqrt(2.0) / coslat)) + 1
+        for rr in range(0, min(r_ext, max_rings) + 1):
+            for c in cells.ring_cells(c0, rr):
+                cand_rows.append({"query_id": qid, "cell": int(c)})
+
+    cand = spark.createDataFrame(pd.DataFrame(cand_rows))
+    filtered = pts.join(F.broadcast(cand), "cell").select(
+        "query_id", "point_id", "lon", "lat"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField("point_id", points.schema[id_col].dataType),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+    qmap = {q: (lon, lat) for q, lon, lat in queries}
+    bq = spark.sparkContext.broadcast(qmap)
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qs = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for qid, idx in pdf.groupby("query_id").indices.items():
+                qlon, qlat = qs[qid]
+                lon = np.deg2rad(pdf["lon"].to_numpy(dtype=np.float64)[idx])
+                lat = np.deg2rad(pdf["lat"].to_numpy(dtype=np.float64)[idx])
+                qlo, qla = np.deg2rad(qlon), np.deg2rad(qlat)
+                h = (
+                    np.sin((lat - qla) / 2) ** 2
+                    + np.cos(lat) * np.cos(qla) * np.sin((lon - qlo) / 2) ** 2
+                )
+                d = 2 * 6371008.8 * np.arcsin(np.sqrt(h))
+                take = np.argpartition(d, min(k, len(d) - 1))[:k] if len(d) > k else np.arange(len(d))
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "point_id": pdf["point_id"].to_numpy()[idx][take],
+                        "dist_m": d[take],
+                    }
+                )
+
+    local = filtered.mapInPandas(refine, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_m").asc(), F.col("point_id").asc()
     )

@@ -229,6 +229,23 @@ class TestJoins:
         n = joins.aoi_filter(tiles_box, tiny).count()
         assert 0 < n < tiles_box.count()
 
+    def test_knn_ring_expansion_matches_brute(self, spark, tiles_box):
+        pts = tiles_box.select(
+            F.col("tile_id").alias("id"),
+            ((F.col("minx") + F.col("maxx")) / 2).alias("lon"),
+            ((F.col("miny") + F.col("maxy")) / 2).alias("lat"),
+        )
+        qs = [("q0", 6.10, 49.70), ("q1", 6.086, 49.6865)]
+        a = sorted(
+            (r["query_id"], r["point_id"])
+            for r in joins.knn_join(pts, qs, k=7).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["point_id"])
+            for r in joins.knn_join_cells(pts, qs, k=7, level=14).collect()
+        )
+        assert a == b
+
     def test_knn(self, spark, tiles_box):
         pts = tiles_box.select(
             F.col("tile_id").alias("id"),
