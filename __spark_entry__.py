@@ -203,6 +203,27 @@ def _q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_idx")
 
 
+def _q_geo_grid_sql_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UTM grid generator with a full DuckDB oracle: the Krüger-series
+    transverse Mercator (forward + inverse), probe math, intersects filter
+    and UTM quad areas are re-derived from first principles in generated SQL
+    (functions/tm_sql.py).  tile_id (sha256 of numpy array formatting) is
+    the one non-SQL-expressible column and is excluded here; the rows-only
+    ``geo_grid_tiles`` plus the Luxembourg golden hash pin it instead."""
+    return _fixture_tiles(spark).select(
+        "row_idx",
+        F.round("minx", 9).alias("minx"), F.round("miny", 9).alias("miny"),
+        F.round("maxx", 9).alias("maxx"), F.round("maxy", 9).alias("maxy"),
+        F.round("area_km2", 9).alias("area_km2"),
+    ).orderBy("row_idx")
+
+
+def _grid_oracle() -> str:
+    from geetiles_spark.functions import tm_sql
+
+    return tm_sql.grid_oracle_sql(6.086, 49.6865, 6.114, 49.7135, 500, zone=32)
+
+
 def _q_geo_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = _fixture_tiles(spark)
     ch = chipsrc.generate_chips(tiles, LABELS)
@@ -286,6 +307,8 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch_us parity with DuckDB requires UTC wall-clock interpretation
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -396,6 +419,8 @@ ORDER BY c_nationkey, rank
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch_us parity with DuckDB requires UTC wall-clock interpretation
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -418,6 +443,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch_us parity with DuckDB requires UTC wall-clock interpretation
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
@@ -895,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_points": _q_knn,
         # geo pipeline (rows-only; oracle-tested in tests/ vs pandas reference)
         "geo_grid_tiles": _q_geo_grid,
+        "geo_grid_tiles_sql_checked": _q_geo_grid_sql_checked,
         "geo_zonal_props": _q_geo_zonal,
         "geo_intersect_join": _q_geo_intersect,
         "geo_foreign_props": _q_geo_foreign_props,
@@ -932,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_spatial_join": _INTERVAL_SPATIAL_SQL,
         "pip_join": _PIP_SQL,
         "knn_points": _knn_sql(),
+        "geo_grid_tiles_sql_checked": _grid_oracle(),
         # geo_* entries intentionally omitted: Krüger-series UTM math is not
         # SQL-expressible; they are rows-only here and oracle-tested in tests/
     }
