@@ -40,6 +40,13 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     if len(g) == len(e):
         for c in g.columns:
             a, b = g[c], e[c]
+            # the driver hashes stringified values: int64 1 vs float64 1.0
+            # is a hash mismatch even though numerically equal — flag it
+            if (a.dtype.kind in "iu") != (b.dtype.kind in "iu"):
+                issues.append(
+                    f"dtype-kind mismatch col={c}: {a.dtype} vs {b.dtype} "
+                    "(driver string-hash would differ)"
+                )
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 bad = (a.astype(float) - b.astype(float)).abs() > 1e-9
             else:
