@@ -195,6 +195,10 @@ SELECT query_id, rank, point_id, round(dist_m, 3) AS dist_m FROM r WHERE rank <=
 
 
 def _q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grid output INCLUDING the sha256 tile identifier; its DuckDB twin
+    re-derives the Krüger projection, probe math, intersects filter, UTM quad
+    area AND the numpy-formatted envelope hash in pure SQL
+    (functions/tm_sql.py: grid_full_oracle_sql + add_region_hash)."""
     return _fixture_tiles(spark).select(
         "row_idx", "tile_id",
         F.round("minx", 9).alias("minx"), F.round("miny", 9).alias("miny"),
@@ -224,26 +228,76 @@ def _grid_oracle() -> str:
     return tm_sql.grid_oracle_sql(6.086, 49.6865, 6.114, 49.7135, 500, zone=32)
 
 
+def _grid_full_oracle() -> str:
+    from geetiles_spark.functions import tm_sql
+
+    return tm_sql.grid_full_oracle_sql(6.086, 49.6865, 6.114, 49.7135, 500, zone=32)
+
+
+def _oracle_mod():
+    from geetiles_spark.functions import oracle_sql
+
+    return oracle_sql
+
+
 def _q_geo_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over the SQL-expressible pattern label def — full DuckDB oracle
+    (oracle_sql.zonal_pattern_oracle_sql re-derives every block's class)."""
     tiles = _fixture_tiles(spark)
-    ch = chipsrc.generate_chips(tiles, LABELS)
-    props = zonal.compute_proportions(tiles, ch, LABELS)
+    ch = chipsrc.generate_chips(tiles, "patternlabels-2020")
+    props = zonal.compute_proportions(tiles, ch, "patternlabels-2020")
     return props.select(
         "tile_id", F.explode("props").alias("class", "frac")
     ).withColumn("frac", F.round("frac", 9)).orderBy("tile_id", "class")
 
 
+def _foreign_boxes_df(spark: SparkSession) -> DataFrame:
+    """Deterministic box-foreign fixture shared with the SQL oracles
+    (oracle_sql.foreign_boxes) — box∩box areas are exact in SQL."""
+    from pyspark.sql import types as Ty
+
+    from geetiles_spark.functions.oracle_sql import foreign_boxes
+
+    schema = Ty.StructType(
+        [
+            Ty.StructField("row_idx", Ty.LongType()),
+            Ty.StructField("tile_id", Ty.StringType()),
+            Ty.StructField("geometry_wkb", Ty.BinaryType()),
+            Ty.StructField("minx", Ty.DoubleType()),
+            Ty.StructField("miny", Ty.DoubleType()),
+            Ty.StructField("maxx", Ty.DoubleType()),
+            Ty.StructField("maxy", Ty.DoubleType()),
+            Ty.StructField("props", Ty.MapType(Ty.StringType(), Ty.DoubleType())),
+        ]
+    )
+    rows = [
+        (
+            f["row_idx"], f["tile_id"],
+            bytes(geom.polygon_to_wkb(
+                geom.box_ring(f["minx"], f["miny"], f["maxx"], f["maxy"])
+            )),
+            f["minx"], f["miny"], f["maxx"], f["maxy"], f["props"],
+        )
+        for f in foreign_boxes()
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_geo_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (cell-join strategy) over the box-foreign fixture; the DuckDB twin
+    recomputes every box∩box area and the first-max argmax in pure SQL."""
     tiles = _fixture_tiles(spark)
-    return joins.intersect_join_cells(tiles, _fixture_foreign(spark)).orderBy("tile_id")
+    return joins.intersect_join_cells(tiles, _foreign_boxes_df(spark)).orderBy("tile_id")
 
 
 def _q_geo_foreign_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (cell-join strategy) over the box-foreign fixture, exploded to
+    (tile_id, class, frac) for the SQL twin."""
     tiles = _fixture_tiles(spark)
-    j2 = joins.foreign_proportions_cells(tiles, _fixture_foreign(spark))
+    j2 = joins.foreign_proportions_cells(tiles, _foreign_boxes_df(spark))
     return (
-        j2.select("tile_id", "foreign_id", F.explode("props_at_foreign").alias("class", "frac"))
-        .withColumn("frac", F.round("frac", 9))
+        j2.select("tile_id", F.explode("props_at_foreign").alias("class", "frac"))
+        .withColumn("frac", F.round("frac", 6))
         .orderBy("tile_id", "class")
     )
 
@@ -256,8 +310,10 @@ def _q_geo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image stats over the SQL-expressible pattern image def — full DuckDB
+    oracle (oracle_sql.chip_stats_pattern_oracle_sql)."""
     tiles = _fixture_tiles(spark)
-    ch = chipsrc.generate_chips(tiles, "sentinel2-rgb-median-2020")
+    ch = chipsrc.generate_chips(tiles, "patternimage-2020")
     return multimodal.image_stats(ch).select(
         "tile_id", "dataset",
         F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std"),
@@ -960,7 +1016,16 @@ def oracle_sql() -> dict[str, str]:
         "interval_spatial_join": _INTERVAL_SPATIAL_SQL,
         "pip_join": _PIP_SQL,
         "knn_points": _knn_sql(),
+        "geo_grid_tiles": _grid_full_oracle(),
         "geo_grid_tiles_sql_checked": _grid_oracle(),
+        "geo_zonal_props": _oracle_mod().zonal_pattern_oracle_sql(500),
+        "geo_intersect_join": _oracle_mod().intersect_oracle_sql(500),
+        "geo_foreign_props": _oracle_mod().foreign_props_oracle_sql(500),
+        "geo_split_bands": _oracle_mod().split_oracle_sql(500, 8, 0.3, 0.5, 0.3, 0.2),
+        "geo_chip_stats": _oracle_mod().chip_stats_pattern_oracle_sql(500),
+        "embedding_lsh_pairs": _oracle_mod().lsh_pairs_oracle_sql(
+            0.4, dim=64, n_planes=4, n_tables=8
+        ),
         # geo_* entries intentionally omitted: Krüger-series UTM math is not
         # SQL-expressible; they are rows-only here and oracle-tested in tests/
     }

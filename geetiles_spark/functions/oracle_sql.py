@@ -1,0 +1,300 @@
+"""Composed DuckDB oracles for the geo contract queries.
+
+Each generator chains the Krüger-series grid CTEs (:mod:`.tm_sql`) with the
+operator math re-derived from first principles in ANSI SQL, so the formerly
+rows-only geo queries get full value-checked oracles:
+
+* ``split_oracle_sql``   — W1 geographic banding (projection + linspace
+  k-search + cycled split assignment, reference ``partitions.py:307-368``)
+* ``intersect_oracle_sql`` / ``foreign_props_oracle_sql`` — J1/J2 over the
+  deterministic box-foreign fixture (box∩box area is exact
+  ``greatest/least`` arithmetic; reference ``partitions.py:470-507``)
+* ``zonal_pattern_oracle_sql`` — A1 label proportions over the
+  SQL-expressible pattern label def (``sources/datasets.PatternLabelDef``)
+* ``chip_stats_pattern_oracle_sql`` — per-chip intensity stats over the
+  pattern image def
+
+The shared fixture constants (AOI box, foreign boxes) live here so the Spark
+side (``__spark_entry__``) and the SQL side are generated from the same
+numbers — a literal embedded via ``repr`` parses to the identical double in
+both engines.
+"""
+
+from __future__ import annotations
+
+from . import tm_sql
+from .tm_sql import _L
+
+AOI = (6.086, 49.6865, 6.114, 49.7135)
+ZONE = 32
+
+
+def foreign_boxes() -> list[dict]:
+    """9 deterministic overlapping lon/lat boxes covering the AOI fixture
+    (plus the half-tile overhang of unclipped grid tiles), each with a
+    3-class proportion map — the foreign side for the J1/J2 oracles."""
+    out = []
+    for i in range(9):
+        fx0 = 6.076 + (i % 3) * 0.016
+        fy0 = 49.6765 + (i // 3) * 0.0157
+        fx1 = fx0 + 0.020
+        fy1 = fy0 + 0.019
+        c10 = ((i % 4) + 1) / 10
+        c20 = ((i % 3) + 1) / 10
+        c30 = 1 - c10 - c20
+        out.append(
+            {
+                "row_idx": i,
+                "tile_id": f"f{i}",
+                "minx": fx0, "miny": fy0, "maxx": fx1, "maxy": fy1,
+                "props": {"10": c10, "20": c20, "30": c30},
+            }
+        )
+    return out
+
+
+def _grid_with(chip_size_m: float) -> tuple[str, str]:
+    """(with_body, last_cte) of the grid chain including ``tile_id``."""
+    body, kept = tm_sql.grid_chains(*AOI, chip_size_m, ZONE)
+    tm_sql.add_region_hash(kept, "minx", "miny", "maxx", "maxy", "tile_id")
+    return f"{body},\n{kept.render()}", kept.last()
+
+
+def _foreign_values() -> str:
+    rows = ", ".join(
+        f"({f['row_idx']}, '{f['tile_id']}', {_L(f['minx'])}, {_L(f['miny'])}, "
+        f"{_L(f['maxx'])}, {_L(f['maxy'])})"
+        for f in foreign_boxes()
+    )
+    return f"(VALUES {rows}) fv(fidx, fid, fx0, fy0, fx1, fy1)"
+
+
+def _pairs_ctes(last: str) -> str:
+    """CTEs producing positive-overlap (tile, foreign) pairs with exact
+    box∩box areas."""
+    return f"""
+f AS (SELECT * FROM {_foreign_values()}),
+pairs AS (
+  SELECT t.tile_id, f.fidx, f.fid,
+         greatest(0, least(t.maxx, f.fx1) - greatest(t.minx, f.fx0)) *
+         greatest(0, least(t.maxy, f.fy1) - greatest(t.miny, f.fy0)) AS ia
+  FROM {last} t, f
+),
+pos AS (SELECT * FROM pairs WHERE ia > 0)"""
+
+
+def intersect_oracle_sql(chip_size_m: float) -> str:
+    """J1: per tile the foreign id of the max intersection area (first max in
+    foreign row order), '-1' when nothing overlaps."""
+    body, last = _grid_with(chip_size_m)
+    return f"""
+WITH {body},
+{_pairs_ctes(last)},
+best AS (
+  SELECT tile_id, fid,
+         row_number() OVER (PARTITION BY tile_id ORDER BY ia DESC, fidx ASC) AS rn
+  FROM pos
+)
+SELECT t.tile_id, coalesce(b.fid, '-1') AS foreign_id
+FROM {last} t
+LEFT JOIN (SELECT tile_id, fid FROM best WHERE rn = 1) b USING (tile_id)
+ORDER BY tile_id
+"""
+
+
+def foreign_props_oracle_sql(chip_size_m: float) -> str:
+    """J2: per (tile, class) the area-weighted mean of foreign proportions
+    over the overlapping foreign set."""
+    body, last = _grid_with(chip_size_m)
+    prop_rows = ", ".join(
+        f"({f['row_idx']}, '{cls}', {_L(frac)})"
+        for f in foreign_boxes()
+        for cls, frac in f["props"].items()
+    )
+    return f"""
+WITH {body},
+{_pairs_ctes(last)},
+w AS (
+  SELECT tile_id, fidx, ia / sum(ia) OVER (PARTITION BY tile_id) AS w
+  FROM pos
+),
+fp AS (SELECT * FROM (VALUES {prop_rows}) pv(fidx, class, frac))
+SELECT w.tile_id, fp.class, round(sum(w.w * fp.frac), 6) AS frac
+FROM w JOIN fp ON w.fidx = fp.fidx
+GROUP BY w.tile_id, fp.class
+ORDER BY w.tile_id, fp.class
+"""
+
+
+def split_oracle_sql(
+    chip_size_m: float,
+    nbands: int,
+    angle: float,
+    train_pct: float,
+    test_pct: float,
+    val_pct: float,
+) -> str:
+    """W1: envelope-ring centroids, min-max normalization, direction-weighted
+    projection, the exact linspace(0.1, 50, 10000) k-search for exactly
+    ``nbands`` distinct bands, and the cycled train/test/val assignment."""
+    from ..operators.split import _direction_weights, band_counts
+
+    a, b, c = band_counts(train_pct, test_pct, val_pct)
+    plon, plat = _direction_weights(angle)
+    base = ["train"] * a + ["test"] * b + ["val"] * c
+    step = (50.0 - 0.1) / 9999
+
+    body, last = _grid_with(chip_size_m)
+    nx = "(cx - bx0) / rx"
+    ny = "(cy - by0) / ry"
+    if angle < 0:
+        nx = f"1 - ({nx})"
+        ny = f"1 - ({ny})"
+    case_items = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(base))
+    return f"""
+WITH {body},
+c AS (
+  SELECT tile_id,
+         (2 * minx + 2 * maxx + minx) / 5 AS cx,
+         (2 * miny + 2 * maxy + miny) / 5 AS cy
+  FROM {last}
+),
+bbr AS (SELECT min(cx) AS bx0, max(cx) AS bx1, min(cy) AS by0, max(cy) AS by1 FROM c),
+bb AS (
+  SELECT bx0, by0,
+         CASE WHEN bx1 - bx0 = 0 THEN 1 ELSE bx1 - bx0 END AS rx,
+         CASE WHEN by1 - by0 = 0 THEN 1 ELSE by1 - by0 END AS ry
+  FROM bbr
+),
+p AS (
+  SELECT tile_id, {_L(plon)} * ({nx}) + {_L(plat)} * ({ny}) AS proj
+  FROM c, bb
+),
+ks AS (SELECT j, 0.1e0 + j * {_L(step)} AS k FROM generate_series(0, 9999) g(j)),
+cnt AS (
+  SELECT j, k, count(DISTINCT trunc(proj / (k / {nbands}))) AS nb
+  FROM p, ks GROUP BY j, k
+),
+chosen AS (SELECT k FROM cnt WHERE nb = {nbands} ORDER BY j LIMIT 1),
+bands AS (
+  SELECT tile_id, CAST(trunc(proj / (k / {nbands})) AS BIGINT) AS raw
+  FROM p, chosen
+),
+ranked AS (SELECT tile_id, dense_rank() OVER (ORDER BY raw) - 1 AS bidx FROM bands)
+SELECT tile_id, CASE (bidx % {len(base)}) {case_items} END AS split
+FROM ranked ORDER BY tile_id
+"""
+
+
+def zonal_pattern_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternlabels-2020",
+    block: int = 10,
+    height: int = 100,
+    width: int = 100,
+) -> str:
+    """A1 over :class:`~..sources.datasets.PatternLabelDef`: per-tile class
+    fractions re-derived per block (value = (seed + bx + 31*by) % 12, each
+    block contributes block^2 pixels; box tiles mask to all-ones)."""
+    body, kept_last = _grid_with(chip_size_m)
+    # second hash: chip seed from (dataset, tile_id)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {kept_last}", "seeded")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    nbx = width // block
+    nby = height // block
+    total = height * width
+    return f"""
+WITH {body},
+{seed.render()},
+blocks AS (
+  SELECT tile_id, (seed + bx.g + 31 * by.g) % 12 AS cls
+  FROM {seed.last()},
+       generate_series(0, {nbx - 1}) bx(g), generate_series(0, {nby - 1}) by(g)
+)
+SELECT tile_id, CAST(cls AS VARCHAR) AS class,
+       round(CAST(count(*) * {block * block} AS DOUBLE) / {_L(float(total))}, 9) AS frac
+FROM blocks GROUP BY tile_id, cls ORDER BY tile_id, class
+"""
+
+
+def lsh_pairs_oracle_sql(
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> str:
+    """ANN near-dup oracle: the seeded hyperplane matrices of
+    ``operators.similarity.hyperplane_buckets`` are emitted as SQL literals,
+    the sign-bit bucketing + bucket equi-join + exact cosine refine re-run in
+    DuckDB over the same ``embeddings`` view."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_tables, dim, n_planes))
+    table_blocks = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(_L(float(x)) for x in planes[t, :, j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        table_blocks.append(f"SELECT vec_id, {t} AS t, {bits} AS bucket FROM e")
+    buckets_sql = "\n  UNION ALL ".join(table_blocks)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+bk AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(ea.v, eb.v) / (ea.nm * eb.nm), 6) AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= {_L(threshold)}
+ORDER BY id_a, id_b
+"""
+
+
+def chip_stats_pattern_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternimage-2020",
+    height: int = 100,
+    width: int = 100,
+    bands: int = 3,
+) -> str:
+    """image_stats over :class:`~..sources.datasets.PatternImageDef`:
+    mean/std/min/max/nonzero fraction of (seed + 3*px + 7*py + 11*b) % 256."""
+    body, kept_last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {kept_last}", "seeded")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    return f"""
+WITH {body},
+{seed.render()},
+px AS (
+  SELECT tile_id,
+         CAST((seed + 3 * x.g + 7 * y.g + 11 * b.g) % 256 AS DOUBLE) AS v
+  FROM {seed.last()},
+       generate_series(0, {width - 1}) x(g),
+       generate_series(0, {height - 1}) y(g),
+       generate_series(0, {bands - 1}) b(g)
+)
+SELECT tile_id, '{dataset}' AS dataset,
+       round(avg(v), 6) AS mean,
+       round(stddev_pop(v), 6) AS std,
+       min(v) AS min, max(v) AS max,
+       round(avg(CASE WHEN v <> 0 THEN 1.0e0 ELSE 0.0e0 END), 6) AS nonzero_frac
+FROM px GROUP BY tile_id ORDER BY tile_id
+"""

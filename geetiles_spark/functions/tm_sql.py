@@ -143,19 +143,113 @@ def add_inv(chain: _Chain, e: str, n: str, lam0_rad: float, out: str) -> None:
     )
 
 
-def grid_oracle_sql(
+def add_region_hash(
+    chain: _Chain, minx: str, miny: str, maxx: str, maxy: str, out: str
+) -> None:
+    """Append CTE stages computing ``{out}`` = the reference tile identifier
+    (``geo/hashing.py`` parity): format the rounded 5-point envelope ring the
+    way numpy's ``str()`` renders it, sha256, fold mod 10**15, hex zfill(13).
+
+    The decimal formatting is the pure integer/string recipe of
+    ``hashing._fmt_value`` / ``region_hash_batch`` (positional regime only —
+    valid while coords stay in numpy's non-scientific range, which the
+    cross-check test asserts for the fixture).
+    """
+    p = out
+    coords = {"x0": minx, "y0": miny, "x1": maxx, "y1": maxy}
+    st1 = {}
+    for c, e in coords.items():
+        st1[f"{p}_{c}_n"] = (
+            f"CAST(round(abs(round({e}, 5)) * 100000.0) AS BIGINT)"
+        )
+        st1[f"{p}_{c}_sg"] = (
+            f"CASE WHEN round({e}, 5) < 0 OR (round({e}, 5) = 0 AND {e} < 0) "
+            "THEN '-' ELSE '' END"
+        )
+    chain.add(st1)
+    st2 = {}
+    for c in coords:
+        st2[f"{p}_{c}_ip"] = f"{p}_{c}_sg || CAST({p}_{c}_n // 100000 AS VARCHAR)"
+        st2[f"{p}_{c}_fr"] = (
+            f"rtrim(lpad(CAST({p}_{c}_n % 100000 AS VARCHAR), 5, '0'), '0')"
+        )
+    chain.add(st2)
+    chain.add(
+        {
+            f"{p}_pi": "CAST(greatest(" + ", ".join(f"length({p}_{c}_ip)" for c in coords) + ") AS INTEGER)",
+            f"{p}_pf": "CAST(greatest(" + ", ".join(f"length({p}_{c}_fr)" for c in coords) + ") AS INTEGER)",
+        }
+    )
+    chain.add(
+        {
+            f"{p}_c{c}": (
+                f"lpad({p}_{c}_ip, {p}_pi, ' ') || '.' || rpad({p}_{c}_fr, {p}_pf, ' ')"
+            )
+            for c in coords
+        }
+    )
+    nl = "chr(10)"
+    # ring rows: [minx miny] [maxx miny] [maxx maxy] [minx maxy] [minx miny]
+    chain.add(
+        {
+            f"{p}_h": (
+                f"sha256('[[' || {p}_cx0 || ' ' || {p}_cy0 || ']' || {nl} || "
+                f"' [' || {p}_cx1 || ' ' || {p}_cy0 || ']' || {nl} || "
+                f"' [' || {p}_cx1 || ' ' || {p}_cy1 || ']' || {nl} || "
+                f"' [' || {p}_cx0 || ' ' || {p}_cy1 || ']' || {nl} || "
+                f"' [' || {p}_cx0 || ' ' || {p}_cy0 || ']]')"
+            )
+        }
+    )
+    # fold the 256-bit hex digest mod 10^15: eight 32-bit chunks recombined
+    # with precomputed 16^(8k) mod 10^15 weights in HUGEINT space
+    chunk_exprs = {}
+    for i in range(8):
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substr({p}_h, {i * 8 + j + 1}, 1)) - 1) "
+            f"* {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        chunk_exprs[f"{p}_k{i}"] = f"CAST({terms} AS BIGINT)"
+    chain.add(chunk_exprs)
+    comb = " + ".join(
+        f"CAST({p}_k{i} AS HUGEINT) * {pow(16, 8 * (7 - i), 10 ** 15)}"
+        for i in range(8)
+    )
+    chain.add(
+        {
+            out: (
+                f"lpad(lower(to_hex(CAST(({comb}) % 1000000000000000 AS BIGINT))), "
+                "13, '0')"
+            )
+        }
+    )
+
+
+def add_hex_prefix_int(chain: _Chain, strexpr: str, nchars: int, out: str) -> None:
+    """Append stages computing ``{out}`` = ``int(sha256(strexpr).hexdigest()
+    [:nchars], 16)`` as BIGINT (``sources/datasets.pattern_seed`` parity;
+    nchars <= 15 so the value fits without HUGEINT)."""
+    if nchars > 15:
+        raise ValueError("nchars > 15 overflows BIGINT")
+    chain.add({f"{out}_h": f"sha256({strexpr})"})
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({out}_h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    chain.add({out: f"CAST({terms} AS BIGINT)"})
+
+
+def grid_chains(
     aoi_w: float, aoi_s: float, aoi_e: float, aoi_n: float,
     chip_size_m: float, zone: int,
-) -> str:
-    """Grid-generation oracle for a rectangular AOI, fully in SQL: project
-    the AOI corners, enumerate grid points, inverse-project centers, apply
-    the ±0.001° probe math and the bbox intersects filter, measure the UTM
-    quad area.  Output (row_idx, minx..maxy, area_km2) rounded to 9, the
-    SQL twin of the engine's ``geo_grid_tiles`` minus the (sha256) tile_id.
-
-    Fixture-specific: the area pass reuses the same UTM zone, valid when
-    the tile collection's envelope center falls in ``zone`` (true for the
-    aoi_box fixture; asserted by the cross-check test).
+) -> tuple[str, _Chain]:
+    """The composable core of the grid oracle: returns ``(with_body, kept)``
+    where ``kept.last()`` carries unrounded ``row_idx, minx, miny, maxx,
+    maxy, area_km2`` for every kept tile.  Callers append further stages to
+    ``kept`` (tile hash, split math, foreign joins) and render
+    ``with_body + "," + kept.render()``.
     """
     lam0 = np.deg2rad(zone * 6.0 - 183.0)
     m = float(chip_size_m)
@@ -207,19 +301,62 @@ def grid_oracle_sql(
     add_fwd(kept, "minx", "maxy", lam0, "q1")
     add_fwd(kept, "maxx", "maxy", lam0, "q2")
     add_fwd(kept, "maxx", "miny", lam0, "q3")
+    kept.add(
+        {
+            "area_km2": (
+                "abs((q0_e * q1_n - q1_e * q0_n) + (q1_e * q2_n - q2_e * q1_n) + "
+                "(q2_e * q3_n - q3_e * q2_n) + (q3_e * q0_n - q0_e * q3_n)) "
+                "/ 2 / 1000000.0"
+            )
+        }
+    )
+    return f"{env.render()},\n{cells.render()}", kept
 
+
+def grid_oracle_sql(
+    aoi_w: float, aoi_s: float, aoi_e: float, aoi_n: float,
+    chip_size_m: float, zone: int,
+) -> str:
+    """Grid-generation oracle for a rectangular AOI, fully in SQL: project
+    the AOI corners, enumerate grid points, inverse-project centers, apply
+    the ±0.001° probe math and the bbox intersects filter, measure the UTM
+    quad area.  Output (row_idx, minx..maxy, area_km2) rounded to 9, the
+    SQL twin of the engine's ``geo_grid_tiles`` minus the (sha256) tile_id.
+
+    Fixture-specific: the area pass reuses the same UTM zone, valid when
+    the tile collection's envelope center falls in ``zone`` (true for the
+    aoi_box fixture; asserted by the cross-check test).
+    """
+    body, kept = grid_chains(aoi_w, aoi_s, aoi_e, aoi_n, chip_size_m, zone)
     return f"""
 WITH
-{env.render()},
-{cells.render()},
+{body},
 {kept.render()}
 SELECT row_idx,
        round(minx, 9) AS minx, round(miny, 9) AS miny,
        round(maxx, 9) AS maxx, round(maxy, 9) AS maxy,
-       round(abs(
-         (q0_e * q1_n - q1_e * q0_n) + (q1_e * q2_n - q2_e * q1_n) +
-         (q2_e * q3_n - q3_e * q2_n) + (q3_e * q0_n - q0_e * q3_n)
-       ) / 2 / 1000000.0, 9) AS area_km2
+       round(area_km2, 9) AS area_km2
+FROM {kept.last()}
+ORDER BY row_idx
+"""
+
+
+def grid_full_oracle_sql(
+    aoi_w: float, aoi_s: float, aoi_e: float, aoi_n: float,
+    chip_size_m: float, zone: int,
+) -> str:
+    """Grid oracle **including** the sha256 tile identifier — the complete
+    SQL twin of ``geo_grid_tiles`` (row_idx, tile_id, bounds, area)."""
+    body, kept = grid_chains(aoi_w, aoi_s, aoi_e, aoi_n, chip_size_m, zone)
+    add_region_hash(kept, "minx", "miny", "maxx", "maxy", "tile_id")
+    return f"""
+WITH
+{body},
+{kept.render()}
+SELECT row_idx, tile_id,
+       round(minx, 9) AS minx, round(miny, 9) AS miny,
+       round(maxx, 9) AS maxx, round(maxy, 9) AS maxy,
+       round(area_km2, 9) AS area_km2
 FROM {kept.last()}
 ORDER BY row_idx
 """

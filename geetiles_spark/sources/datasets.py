@@ -168,6 +168,50 @@ class FloodLikeDef(DatasetDef):
         return (rng.random((height, width)) < 0.1).astype(np.uint8)
 
 
+def pattern_seed(tile_id: str, dataset: str) -> int:
+    """48-bit deterministic seed (hex-prefix of the same sha256 recipe as
+    :func:`chip_seed`) — small enough for exact BIGINT arithmetic in a SQL
+    oracle (functions/tm_sql.add_hex_prefix_int re-derives it in DuckDB)."""
+    return int(hashlib.sha256(f"{dataset}/{tile_id}".encode()).hexdigest()[:12], 16)
+
+
+class PatternLabelDef(DatasetDef):
+    """SQL-expressible label chips: 10x10-px blocks whose ESA code index is
+    ``(seed + bx + 31*by) % 12`` — same spatially-correlated shape as
+    :class:`EsaWorldCoverDef` but with a closed-form pixel function, so the
+    zonal-stats contract query gets a full DuckDB oracle
+    (functions/oracle_sql.zonal_pattern_oracle_sql)."""
+
+    name = "patternlabels-2020"
+    dtype = "uint8"
+    block = 10
+
+    def map_values(self, array: np.ndarray) -> np.ndarray:
+        return maps.apply_value_map(array, dict(ESA_VALUE_MAP))
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        s = pattern_seed(tile_id, self.name)
+        by = np.arange(height)[:, None] // self.block
+        bx = np.arange(width)[None, :] // self.block
+        idx = (s + bx + 31 * by) % 12
+        return np.asarray(ESA_CODES, dtype=np.uint8)[idx]
+
+
+class PatternImageDef(DatasetDef):
+    """SQL-expressible 3-band image chips: ``(seed + 3*px + 7*py + 11*b) %
+    256`` — gives image_stats a full DuckDB oracle."""
+
+    name = "patternimage-2020"
+    dtype = "uint8"
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        s = pattern_seed(tile_id, self.name)
+        py = np.arange(height)[:, None, None]
+        px = np.arange(width)[None, :, None]
+        b = np.arange(3)[None, None, :]
+        return ((s + 3 * px + 7 * py + 11 * b) % 256).astype(np.uint8)
+
+
 _REGISTRY: dict[str, type[DatasetDef]] = {
     EsaWorldCoverDef.name: EsaWorldCoverDef,
     Sentinel2RgbDef.name: Sentinel2RgbDef,
@@ -175,6 +219,8 @@ _REGISTRY: dict[str, type[DatasetDef]] = {
     HumanPopDef.name: HumanPopDef,
     S1GrdDef.name: S1GrdDef,
     FloodLikeDef.name: FloodLikeDef,
+    PatternLabelDef.name: PatternLabelDef,
+    PatternImageDef.name: PatternImageDef,
 }
 
 
