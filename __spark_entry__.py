@@ -859,6 +859,35 @@ def _q_interval_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("box_id", "event_id")
 
 
+def _q_interval_spatial_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with NON-rectangular (triangle) event footprints: the bbox
+    prefilter alone would over-report; the exact ring refine inside
+    ``joins.interval_spatial_join`` (boxes_intersect_polygon per event) is
+    what the SQL Sutherland–Hodgman oracle checks."""
+    from geetiles_spark.functions.oracle_sql import event_triangles
+
+    polys = spark.createDataFrame(_boxes_pdf())
+    rows = []
+    for e in event_triangles():
+        ring = np.array(e["verts"] + [e["verts"][0]], dtype=np.float64)
+        xs, ys = ring[:, 0], ring[:, 1]
+        rows.append(
+            {
+                "event_id": e["event_id"],
+                "minx": float(xs.min()), "miny": float(ys.min()),
+                "maxx": float(xs.max()), "maxy": float(ys.max()),
+                "start": e["start"], "end": e["end"],
+                "geometry_wkb": bytes(geom.polygon_to_wkb(ring)),
+            }
+        )
+    ev = spark.createDataFrame(pd.DataFrame(rows))
+    out = joins.interval_spatial_join(polys, ev, "2020-01-01", "2020-12-31")
+    return out.select(
+        F.col("tile_id").cast("int").alias("box_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+    ).orderBy("box_id", "event_id")
+
+
 _INTERVAL_SPATIAL_SQL = """
 WITH boxes AS (
   SELECT k AS box_id,
@@ -903,21 +932,36 @@ def multimodal_mosaic_blocks(ch):
 
 
 def _q_geo_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/K5 assembly over the SQL-expressible pattern defs; payload content
+    is pinned by int16 pixel sums the DuckDB twin recomputes per pixel."""
+    from pyspark.sql import types as Ty
+
     from geetiles_spark.operators import assemble
 
     tiles = _fixture_tiles(spark)
-    img = chipsrc.generate_chips(tiles, "sentinel2-rgb-median-2020")
-    lbl = chipsrc.generate_chips(tiles, LABELS)
-    props = zonal.compute_proportions(tiles, lbl, LABELS)
+    img = chipsrc.generate_chips(tiles, "patternimage-2020")
+    lbl = chipsrc.generate_chips(tiles, "patternlabels-2020")
+    props = zonal.compute_proportions(tiles, lbl, "patternlabels-2020")
     ds = assemble.assemble_dataset(
-        tiles, img.unionByName(lbl), "sentinel2-rgb-median-2020", LABELS, props=props
+        tiles, img.unionByName(lbl), "patternimage-2020", "patternlabels-2020",
+        props=props,
     )
+
+    @F.pandas_udf(Ty.LongType())
+    def pixsum(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: int(np.frombuffer(x, dtype=np.int16).sum())
+            if x is not None else None
+        )
+
     return ds.select(
         "chip_id", "chip_height", "chip_width", "chip_bands",
         F.round("center_lat", 9).alias("center_lat"),
         F.round("center_lon", 9).alias("center_lon"),
-        F.crc32(F.col("chip")).alias("chip_crc"),
-        F.crc32(F.col("label")).alias("label_crc"),
+        F.round("corner_nw_lat", 9).alias("corner_nw_lat"),
+        F.round("corner_se_lon", 9).alias("corner_se_lon"),
+        pixsum(F.col("chip")).alias("chip_sum"),
+        pixsum(F.col("label")).alias("label_sum"),
     ).orderBy("chip_id")
 
 
@@ -929,9 +973,14 @@ def _q_geo_random_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_clipped_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 with a full DuckDB oracle (oracle_sql.clipped_grid_oracle_sql runs
+    the four-edge Sutherland–Hodgman clip in SQL).  Area rounds to 6: the
+    shoelace over ~6e5-magnitude UTM coords carries ~1e-3 m^2 of float
+    cancellation noise between numpy and DuckDB — round 9 km^2 sits exactly
+    on that floor."""
     t = gridop.make_grid_clipped(spark, AOI_BOX, 700)
     return t.select(
-        "row_idx", "tile_id", F.round("area_km2", 9).alias("area_km2")
+        "row_idx", "tile_id", F.round("area_km2", 6).alias("area_km2")
     ).orderBy("row_idx")
 
 
@@ -973,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_value_map": _q_value_map,
         "simhash_hamming_pairs": _q_simhash_pairs,
         "interval_spatial_join": _q_interval_spatial,
+        "interval_spatial_join_exact": _q_interval_spatial_exact,
         # spatial with SQL twins
         "pip_join": _q_pip_join,
         "knn_points": _q_knn,
@@ -1014,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_value_map": _VALUE_MAP_SQL,
         "simhash_hamming_pairs": _simhash_pairs_sql(),
         "interval_spatial_join": _INTERVAL_SPATIAL_SQL,
+        "interval_spatial_join_exact": _oracle_mod().interval_triangles_oracle_sql(),
         "pip_join": _PIP_SQL,
         "knn_points": _knn_sql(),
         "geo_grid_tiles": _grid_full_oracle(),
@@ -1026,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_pairs": _oracle_mod().lsh_pairs_oracle_sql(
             0.4, dim=64, n_planes=4, n_tables=8
         ),
+        "geo_clipped_grid": _oracle_mod().clipped_grid_oracle_sql(700),
+        "geo_dataset_assembly": _oracle_mod().assembly_pattern_oracle_sql(500),
         # geo_* entries intentionally omitted: Krüger-series UTM math is not
         # SQL-expressible; they are rows-only here and oracle-tested in tests/
     }

@@ -217,6 +217,256 @@ FROM blocks GROUP BY tile_id, cls ORDER BY tile_id, class
 """
 
 
+def sh_clip_stages(src: str, id_cols: list[str], prefix: str) -> tuple[str, str]:
+    """Reusable Sutherland–Hodgman-in-SQL: emit CTEs clipping list-polygons
+    ``(xs, ys)`` by per-row axis boxes ``(e0, n0, e1, n1)`` — one
+    unnest + emit + regroup block per half-plane, box_ring CCW edge order
+    (bottom, right, top, left).  ``id_cols`` are carried through every
+    stage.  Returns ``(ctes_text, last_cte_name)``; the result rows keep
+    (id_cols, e0, n0, e1, n1, xs, ys) with degenerate outputs having
+    ``len(xs) < 3``."""
+    edges = [
+        ("cy >= n0", "(n0 - py) / (cy - py)"),
+        ("cx <= e1", "(e1 - px) / (cx - px)"),
+        ("cy <= n1", "(n1 - py) / (cy - py)"),
+        ("cx >= e0", "(e0 - px) / (cx - px)"),
+    ]
+    ids = ", ".join(id_cols)
+    stages = []
+    for s, (inside, t_expr) in enumerate(edges):
+        cur_in = inside
+        prev_in = inside.replace("cx", "px").replace("cy", "py")
+        cids = ", ".join(f"c.{c}" for c in id_cols)
+        stages.append(f"""
+{prefix}p{s} AS (
+  SELECT {cids}, c.e0, c.n0, c.e1, c.n1, g.i,
+         c.xs[g.i] AS cx, c.ys[g.i] AS cy,
+         c.xs[CASE WHEN g.i = 1 THEN len(c.xs) ELSE g.i - 1 END] AS px,
+         c.ys[CASE WHEN g.i = 1 THEN len(c.xs) ELSE g.i - 1 END] AS py
+  FROM {src} c JOIN generate_series(1, 32) g(i) ON g.i <= len(c.xs)
+),
+{prefix}e{s} AS (
+  SELECT {ids}, e0, n0, e1, n1, i, 1 AS sub,
+         px + ({t_expr}) * (cx - px) AS x,
+         py + ({t_expr}) * (cy - py) AS y
+  FROM {prefix}p{s} WHERE ({cur_in}) <> ({prev_in})
+  UNION ALL
+  SELECT {ids}, e0, n0, e1, n1, i, 2, cx, cy FROM {prefix}p{s} WHERE {cur_in}
+),
+{prefix}s{s} AS (
+  SELECT {ids}, e0, n0, e1, n1,
+         list(x ORDER BY i, sub) AS xs, list(y ORDER BY i, sub) AS ys
+  FROM {prefix}e{s} GROUP BY {ids}, e0, n0, e1, n1
+)""")
+        src = f"{prefix}s{s}"
+    return ",".join(stages), src
+
+
+def clipped_grid_oracle_sql(rect_size: float, zone: int = ZONE) -> str:
+    """G2 oracle: the UTM-square clipped grid fully in SQL — forward-project
+    the AOI corners, enumerate UTM cells, run a four-edge Sutherland–Hodgman
+    clip of the projected AOI quad against each cell (lists + unnest + one
+    re-group per edge), shoelace the clipped ring, inverse-project its
+    vertices for the lon/lat bounds, and region-hash them into tile_id."""
+    import numpy as np
+
+    lam0 = np.deg2rad(zone * 6.0 - 183.0)
+    m = float(rect_size)
+    aoi_w, aoi_s, aoi_e, aoi_n = AOI
+
+    env = tm_sql._Chain("SELECT 1 AS one", "env")
+    # box_ring corner order: (w,s) (e,s) (e,n) (w,n)
+    for i, (lon, lat) in enumerate(
+        [(aoi_w, aoi_s), (aoi_e, aoi_s), (aoi_e, aoi_n), (aoi_w, aoi_n)]
+    ):
+        tm_sql.add_fwd(env, _L(lon), _L(lat), lam0, f"c{i}")
+    env.add(
+        {
+            "minx_m": "least(c0_e, c1_e, c2_e, c3_e)",
+            "miny_m": "least(c0_n, c1_n, c2_n, c3_n)",
+            "nx": "CAST(ceil((greatest(c0_e, c1_e, c2_e, c3_e) - least(c0_e, c1_e, c2_e, c3_e)) / "
+                  f"{_L(m)}) AS BIGINT)",
+            "nyc": "CAST(ceil((greatest(c0_n, c1_n, c2_n, c3_n) - least(c0_n, c1_n, c2_n, c3_n)) / "
+                   f"{_L(m)}) AS BIGINT)",
+        }
+    )
+
+    # one row per cell, carrying the subject quad as vertex lists
+    cells_sql = f"""
+cells AS (
+  SELECT gx.g * d.nyc + gy.g AS row_idx,
+         d.minx_m + gx.g * {_L(m)} AS e0,
+         d.miny_m + gy.g * {_L(m)} AS n0,
+         d.minx_m + gx.g * {_L(m)} + {_L(m)} AS e1,
+         d.miny_m + gy.g * {_L(m)} + {_L(m)} AS n1,
+         [d.c0_e, d.c1_e, d.c2_e, d.c3_e] AS xs,
+         [d.c0_n, d.c1_n, d.c2_n, d.c3_n] AS ys
+  FROM {env.last()} d,
+       generate_series(0, 1023) gx(g), generate_series(0, 1023) gy(g)
+  WHERE gx.g < d.nx AND gy.g < d.nyc
+)"""
+
+    stages_txt, src = sh_clip_stages("cells", ["row_idx"], "g")
+
+    # shoelace area + vertex table for reprojection
+    area_and_verts = f"""
+kept AS (SELECT row_idx, xs, ys FROM {src} WHERE len(xs) >= 3),
+shoe AS (
+  SELECT k.row_idx,
+         abs(sum(k.xs[g.i] * k.ys[CASE WHEN g.i = len(k.xs) THEN 1 ELSE g.i + 1 END]
+               - k.xs[CASE WHEN g.i = len(k.xs) THEN 1 ELSE g.i + 1 END] * k.ys[g.i])) / 2
+           AS area_m2
+  FROM kept k JOIN generate_series(1, 32) g(i) ON g.i <= len(k.xs)
+  GROUP BY k.row_idx
+),
+verts AS (
+  SELECT k.row_idx, k.xs[g.i] AS ve, k.ys[g.i] AS vn
+  FROM kept k JOIN generate_series(1, 32) g(i) ON g.i <= len(k.xs)
+)"""
+
+    inv = tm_sql._Chain("SELECT * FROM verts", "inv")
+    tm_sql.add_inv(inv, "ve", "vn", lam0, "ll")
+
+    hashed = tm_sql._Chain(
+        f"""SELECT row_idx,
+               min(ll_lon) AS minx, min(ll_lat) AS miny,
+               max(ll_lon) AS maxx, max(ll_lat) AS maxy
+        FROM {inv.last()} GROUP BY row_idx""",
+        "bnd",
+    )
+    tm_sql.add_region_hash(hashed, "minx", "miny", "maxx", "maxy", "tile_id")
+
+    return f"""
+WITH
+{env.render()},
+{cells_sql},
+{stages_txt},
+{area_and_verts},
+{inv.render()},
+{hashed.render()}
+SELECT b.row_idx, b.tile_id, round(a.area_m2 / 1000000.0, 6) AS area_km2
+FROM {hashed.last()} b JOIN shoe a ON a.row_idx = b.row_idx
+WHERE a.area_m2 > 0
+ORDER BY b.row_idx
+"""
+
+
+def assembly_pattern_oracle_sql(
+    chip_size_m: float,
+    img_dataset: str = "patternimage-2020",
+    lbl_dataset: str = "patternlabels-2020",
+    height: int = 100,
+    width: int = 100,
+    bands: int = 3,
+    block: int = 10,
+) -> str:
+    """J4/K5 oracle: tile metadata (centers/corners from the grid chain) plus
+    int16 pixel sums of the pattern image and mapped pattern label chips."""
+    body, kept_last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(
+        f"SELECT tile_id, minx, miny, maxx, maxy FROM {kept_last}", "seeded"
+    )
+    tm_sql.add_hex_prefix_int(seed, f"'{img_dataset}/' || tile_id", 12, "iseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{lbl_dataset}/' || tile_id", 12, "lseed")
+    nbx = width // block
+    nby = height // block
+    return f"""
+WITH {body},
+{seed.render()},
+isum AS (
+  SELECT tile_id,
+         sum((iseed + 3 * x.g + 7 * y.g + 11 * b.g) % 256) AS chip_sum
+  FROM {seed.last()},
+       generate_series(0, {width - 1}) x(g),
+       generate_series(0, {height - 1}) y(g),
+       generate_series(0, {bands - 1}) b(g)
+  GROUP BY tile_id
+),
+lsum AS (
+  SELECT tile_id,
+         sum(((lseed + bx.g + 31 * by.g) % 12) * {block * block}) AS label_sum
+  FROM {seed.last()},
+       generate_series(0, {nbx - 1}) bx(g), generate_series(0, {nby - 1}) by(g)
+  GROUP BY tile_id
+)
+SELECT s.tile_id AS chip_id,
+       {height} AS chip_height, {width} AS chip_width, {bands} AS chip_bands,
+       round((3 * s.miny + 2 * s.maxy) / 5, 9) AS center_lat,
+       round((3 * s.minx + 2 * s.maxx) / 5, 9) AS center_lon,
+       round(s.maxy, 9) AS corner_nw_lat,
+       round(s.maxx, 9) AS corner_se_lon,
+       CAST(i.chip_sum AS BIGINT) AS chip_sum,
+       CAST(l.label_sum AS BIGINT) AS label_sum
+FROM {seed.last()} s
+JOIN isum i ON i.tile_id = s.tile_id
+JOIN lsum l ON l.tile_id = s.tile_id
+ORDER BY chip_id
+"""
+
+
+def event_triangles() -> list[dict]:
+    """25 deterministic triangle flood footprints over the planar 25-box
+    fixture grid (non-rectangular: exercises the exact ring refine of
+    ``interval_spatial_join``)."""
+    out = []
+    for i in range(25):
+        x0 = (i % 5) * 2 + 0.3
+        y0 = (i // 5) * 2 + 0.3
+        verts = [(x0, y0), (x0 + 2.2, y0 + 0.4), (x0 + 0.9, y0 + 2.3)]
+        start = "2019-05-01" if i % 3 == 0 else "2020-05-01"
+        out.append(
+            {"event_id": i, "verts": verts, "start": start, "end": "2020-06-01"}
+        )
+    return out
+
+
+def interval_triangles_oracle_sql() -> str:
+    """J5-exact oracle: box-tile x triangle-event intersects (clip via the
+    SQL Sutherland–Hodgman, keep strictly-overlapping pairs) plus the
+    string-date interval containment."""
+    ev_rows = ", ".join(
+        f"({e['event_id']}, "
+        + ", ".join(_L(c) for v in e["verts"] for c in v)
+        + f", '{e['start']}', '{e['end']}')"
+        for e in event_triangles()
+    )
+    base = f"""
+boxes AS (
+  SELECT k AS box_id,
+         (k % 5) * 2 + 0.123457 AS minx, (k // 5) * 2 + 0.123457 AS miny,
+         (k % 5) * 2 + 0.123457 + 1.75 AS maxx, (k // 5) * 2 + 0.123457 + 1.75 AS maxy
+  FROM generate_series(0, 24) g(k)
+),
+ev AS (
+  SELECT * FROM (VALUES {ev_rows})
+    t(event_id, x0, y0, x1, y1, x2, y2, start, "end")
+  WHERE start >= '2020-01-01' AND "end" <= '2020-12-31'
+),
+pairs AS (
+  SELECT b.box_id, e.event_id,
+         b.minx AS e0, b.miny AS n0, b.maxx AS e1, b.maxy AS n1,
+         [e.x0, e.x1, e.x2] AS xs, [e.y0, e.y1, e.y2] AS ys
+  FROM boxes b, ev e
+  WHERE least(e.x0, e.x1, e.x2) <= b.maxx AND greatest(e.x0, e.x1, e.x2) >= b.minx
+    AND least(e.y0, e.y1, e.y2) <= b.maxy AND greatest(e.y0, e.y1, e.y2) >= b.miny
+)"""
+    stages, last = sh_clip_stages("pairs", ["box_id", "event_id"], "iv")
+    return f"""
+WITH {base},
+{stages},
+kept AS (SELECT box_id, event_id, xs, ys FROM {last} WHERE len(xs) >= 3),
+shoe AS (
+  SELECT k.box_id, k.event_id,
+         abs(sum(k.xs[g.i] * k.ys[CASE WHEN g.i = len(k.xs) THEN 1 ELSE g.i + 1 END]
+               - k.xs[CASE WHEN g.i = len(k.xs) THEN 1 ELSE g.i + 1 END] * k.ys[g.i])) / 2
+           AS area
+  FROM kept k JOIN generate_series(1, 32) g(i) ON g.i <= len(k.xs)
+  GROUP BY k.box_id, k.event_id
+)
+SELECT box_id, event_id FROM shoe WHERE area > 0 ORDER BY box_id, event_id
+"""
+
+
 def lsh_pairs_oracle_sql(
     threshold: float,
     dim: int,

@@ -146,6 +146,95 @@ def clip_polygon_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return ring_close(np.asarray(out, dtype=np.float64))
 
 
+def clip_box_batch(
+    subject: np.ndarray,
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized Sutherland–Hodgman of ONE subject ring against N axis
+    boxes, returning the clipped rings: ``(xs, ys, cnt)`` where row i's ring
+    is ``xs[i, :cnt[i]], ys[i, :cnt[i]]`` (open, CCW-as-clipped; cnt < 3
+    means empty).
+
+    Bit-parity contract: applies the box edges in :func:`box_ring` CCW order
+    (bottom, right, top, left) with the same generic edge arithmetic as
+    :func:`clip_polygon_convex` — identical IEEE op order, so outputs equal
+    the scalar kernel's float-for-float (pinned by a property test).  This is
+    the batched inner kernel of ``make_grid_clipped``: one call per Arrow
+    batch instead of one Python Sutherland–Hodgman per cell.
+    """
+    subject = ring_close(np.asarray(subject, dtype=np.float64))[:-1]
+    v = len(subject)
+    n = len(minx)
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    cap = 2 * v + 8
+    xs = np.zeros((n, cap), dtype=np.float64)
+    ys = np.zeros((n, cap), dtype=np.float64)
+    xs[:, :v] = subject[:, 0][None, :]
+    ys[:, :v] = subject[:, 1][None, :]
+    cnt = np.full(n, v, dtype=np.int64)
+    rows = np.arange(n)
+
+    # box_ring CCW edge sequence: (minx,miny)->(maxx,miny)->(maxx,maxy)
+    # ->(minx,maxy)->close
+    edges = [
+        (minx, miny, maxx, miny),
+        (maxx, miny, maxx, maxy),
+        (maxx, maxy, minx, maxy),
+        (minx, maxy, minx, miny),
+    ]
+    for cx1, cy1, cx2, cy2 in edges:
+        m = int(cnt.max()) if n else 0
+        if m == 0:
+            break
+        ex = cx2 - cx1
+        ey = cy2 - cy1
+        oxs = np.zeros((n, cap), dtype=np.float64)
+        oys = np.zeros((n, cap), dtype=np.float64)
+        ocnt = np.zeros(n, dtype=np.int64)
+        safe = np.maximum(cnt - 1, 0)
+        for j in range(m):
+            act = j < cnt
+            if not act.any():
+                break
+            pj = np.where(j == 0, safe, j - 1)
+            ji = np.minimum(j, safe)
+            cx = xs[rows, ji]
+            cy = ys[rows, ji]
+            px = xs[rows, pj]
+            py = ys[rows, pj]
+            cur_in = ex * (cy - cy1) - ey * (cx - cx1) >= 0
+            prev_in = ex * (py - cy1) - ey * (px - cx1) >= 0
+            dx = cx - px
+            dy = cy - py
+            denom = ex * dy - ey * dx
+            crossing = act & (cur_in != prev_in) & (denom != 0)
+            if crossing.any():
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (ey * (px - cx1) - ex * (py - cy1)) / np.where(
+                        denom == 0, 1.0, denom
+                    )
+                ix = px + t * dx
+                iy = py + t * dy
+                w = crossing
+                oxs[rows[w], ocnt[w]] = ix[w]
+                oys[rows[w], ocnt[w]] = iy[w]
+                ocnt[w] += 1
+            keep = act & cur_in
+            if keep.any():
+                oxs[rows[keep], ocnt[keep]] = cx[keep]
+                oys[rows[keep], ocnt[keep]] = cy[keep]
+                ocnt[keep] += 1
+        xs, ys, cnt = oxs, oys, ocnt
+    cnt = np.where(cnt < 3, 0, cnt)
+    return xs, ys, cnt
+
+
 def intersection_area_convex(subject: np.ndarray, clip: np.ndarray) -> float:
     """Area of subject ∩ clip where ``clip`` is convex."""
     clipped = clip_polygon_convex(subject, clip)

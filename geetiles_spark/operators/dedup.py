@@ -152,31 +152,84 @@ def simhash_signatures(
     return agg.select("doc_id", bits.alias("simhash"))
 
 
+def simhash_segments(max_dist: int, sig_len: int = 16) -> list[tuple[int, int]]:
+    """(start, length) of the ``min(max_dist + 1, sig_len)`` signature
+    segments (1-based starts).  Pigeonhole: two signatures within Hamming
+    distance ``max_dist`` agree on at least one segment."""
+    nseg = min(max_dist + 1, sig_len)
+    base, rem = divmod(sig_len, nseg)
+    out = []
+    start = 1
+    for s in range(nseg):
+        length = base + (1 if s < rem else 0)
+        out.append((start, length))
+        start += length
+    return out
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_dist: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash Hamming distance <= max_dist.
+    """Near-dup pairs by SimHash Hamming distance <= max_dist, recall 1.
 
-    The pair scan is a crossJoin on the (small) signature table — at scale,
-    band the signature (split into max_dist+1 segments; equal-segment
-    equi-join guarantees recall 1 by pigeonhole) exactly like MinHash-LSH
-    banding.  Pure column expressions, SQL-twin-able.
+    Physical plan (the MinHash-LSH shape, NOT an all-pairs scan): the 16-char
+    signature splits into ``max_dist + 1`` segments; by pigeonhole every
+    qualifying pair agrees on some segment, so an equi-join on
+    ``(segment_idx, segment_value)`` finds all of them while bounding
+    candidates to same-segment collisions (~n^2/2^seg_bits per segment
+    instead of n^2/2).  The exact Hamming refine is a column expression;
+    duplicate pairs that collide in several segments are cut by the classic
+    report-once rule — keep the pair only in its FIRST agreeing segment — a
+    pure filter, no ``distinct`` shuffle.  The brute-force all-pairs scan is
+    the DuckDB oracle (contract query ``simhash_hamming_pairs``) and the
+    cross-test in tests/.
     """
     sig = simhash_signatures(docs, id_col, text_col)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    segs = simhash_segments(max_dist)
+    seg_rows = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.substring("simhash", start, length).alias("segv"),
+                    )
+                    for s, (start, length) in enumerate(segs)
+                ]
+            )
+        ).alias("sv"),
+    ).select("doc_id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segv").alias("segv"))
+    a = seg_rows.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "seg", "segv"
+    )
+    b = seg_rows.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "seg", "segv"
+    )
     ham = sum(
         F.when(
             F.substring("sa", j + 1, 1) != F.substring("sb", j + 1, 1), 1
         ).otherwise(0)
         for j in range(16)
     )
+    # report-once: the first segment where the two signatures agree
+    first_match = F.coalesce(
+        *[
+            F.when(
+                F.substring("sa", start, length) == F.substring("sb", start, length),
+                F.lit(s),
+            )
+            for s, (start, length) in enumerate(segs)
+        ]
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["seg", "segv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("seg") == first_match)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_dist)
         .select("doc_a", "doc_b", "hamming")

@@ -245,37 +245,61 @@ def make_grid_clipped(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring_utm = b_aoi.value
         for pdf in batches:
-            rows = []
-            for i in pdf["id"].to_numpy():
-                # reference iterates slon (x) outer, slat (y) inner
-                gx, gy = divmod(int(i), nyc)
-                x0 = minx + gx * m
-                y0 = miny + gy * m
-                cell = geom.box_ring(x0, y0, x0 + m, y0 + m)
-                clipped = geom.clip_polygon_convex(ring_utm, cell)
-                if len(clipped) == 0:
-                    continue
-                area = geom.ring_area(clipped)
-                if area <= 0:
-                    continue
-                # reproject clipped ring to 4326
-                lon, lat = utm.utm_to_lonlat(clipped[:, 0], clipped[:, 1], zone, south)
-                ring4326 = np.stack([lon, lat], axis=1)
-                bx0, by0, bx1, by1 = geom.ring_bounds(ring4326)
-                rows.append(
-                    {
-                        "row_idx": int(i),
-                        "tile_id": hashing.region_hash_from_bounds(bx0, by0, bx1, by1),
-                        "geometry_wkb": geom.polygon_to_wkb(ring4326),
-                        "minx": bx0,
-                        "miny": by0,
-                        "maxx": bx1,
-                        "maxy": by1,
-                        "area_km2": area / 1e6,
-                    }
+            ids = pdf["id"].to_numpy()
+            # reference iterates slon (x) outer, slat (y) inner
+            gx, gy = np.divmod(ids, nyc)
+            x0 = minx + gx * m
+            y0 = miny + gy * m
+            # batched masked Sutherland–Hodgman: one call per Arrow batch
+            # (replaces the round-1 per-cell Python loop — G2 was the only
+            # generator whose kernel would not survive 100x)
+            xs, ys, cnt = geom.clip_box_batch(ring_utm, x0, y0, x0 + m, y0 + m)
+            mmax = int(cnt.max()) if len(cnt) else 0
+            if mmax == 0:
+                continue
+            rows_i = np.arange(len(ids))
+            idxv = np.arange(mmax)
+            valid = idxv[None, :] < cnt[:, None]
+            nxt = (idxv[None, :] + 1) % np.maximum(cnt, 1)[:, None]
+            x2 = xs[rows_i[:, None], nxt]
+            y2 = ys[rows_i[:, None], nxt]
+            contrib = (xs[:, :mmax] * y2 - x2 * ys[:, :mmax]) * valid
+            area = np.abs(contrib.sum(axis=1)) * 0.5
+            keep = (cnt >= 3) & (area > 0)
+            if not keep.any():
+                continue
+            kidx = np.nonzero(keep)[0]
+            kxs, kys, kcnt = xs[kidx], ys[kidx], cnt[kidx]
+            kvalid = valid[kidx]
+            # reproject every kept vertex in one vectorized call
+            vr, vc = np.nonzero(kvalid)
+            lon, lat = utm.utm_to_lonlat(kxs[vr, vc], kys[vr, vc], zone, south)
+            starts = np.concatenate([[0], np.cumsum(kcnt)[:-1]])
+            bx0 = np.minimum.reduceat(lon, starts)
+            bx1 = np.maximum.reduceat(lon, starts)
+            by0 = np.minimum.reduceat(lat, starts)
+            by1 = np.maximum.reduceat(lat, starts)
+            tile_ids = hashing.region_hash_batch(bx0, by0, bx1, by1)
+            wkbs = []
+            for r in range(len(kidx)):
+                s, e = starts[r], starts[r] + kcnt[r]
+                ring4326 = np.stack(
+                    [np.append(lon[s:e], lon[s]), np.append(lat[s:e], lat[s])],
+                    axis=1,
                 )
-            if rows:
-                yield pd.DataFrame(rows)
+                wkbs.append(geom.polygon_to_wkb(ring4326))
+            yield pd.DataFrame(
+                {
+                    "row_idx": ids[kidx],
+                    "tile_id": tile_ids,
+                    "geometry_wkb": wkbs,
+                    "minx": bx0,
+                    "miny": by0,
+                    "maxx": bx1,
+                    "maxy": by1,
+                    "area_km2": area[kidx] / 1e6,
+                }
+            )
 
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, total, 1, num_partitions)

@@ -543,30 +543,71 @@ def interval_spatial_join(
     start_lit: str,
     end_lit: str,
 ) -> DataFrame:
-    """Per tile, events whose geometry bbox intersects the tile AND whose
+    """Per tile, events whose geometry intersects the tile AND whose
     [start, end] interval is contained in [start_lit, end_lit] — the flood
     catalog join (``defs/globalfloods.py:61-80``: ``geometry.intersects``
     ∧ string-date containment).
 
     ``events`` needs (event_id, minx, miny, maxx, maxy, start, end) with
-    ISO-string dates (the reference compares dates as strings).  The event
-    catalog is the small side -> broadcast; the spatial predicate is a bbox
-    theta join (events in the reference carry bbox-like footprints).
+    ISO-string dates (the reference compares dates as strings), plus an
+    optional ``geometry_wkb`` footprint.  The event catalog is the small
+    side -> broadcast bbox theta join; when ``geometry_wkb`` is present the
+    bbox prefilter is refined with the exact (non-convex-safe) vectorized
+    box-vs-ring test per event — reference parity for arbitrary flood
+    footprints, not just rectangles.  Without a footprint column events are
+    treated as their bboxes (exact for box footprints).
     """
-    e = events.filter(
-        (F.col("start") >= F.lit(start_lit)) & (F.col("end") <= F.lit(end_lit))
-    ).select(
+    has_geom = "geometry_wkb" in events.columns
+    cols = [
         F.col("event_id"),
         F.col("minx").alias("e_minx"), F.col("miny").alias("e_miny"),
         F.col("maxx").alias("e_maxx"), F.col("maxy").alias("e_maxy"),
-    )
+    ]
+    e = events.filter(
+        (F.col("start") >= F.lit(start_lit)) & (F.col("end") <= F.lit(end_lit))
+    ).select(*cols)
     t = tiles.select("tile_id", "minx", "miny", "maxx", "maxy")
-    return t.join(
+    cand = t.join(
         F.broadcast(e),
         (F.col("minx") <= F.col("e_maxx")) & (F.col("maxx") >= F.col("e_minx"))
         & (F.col("miny") <= F.col("e_maxy")) & (F.col("maxy") >= F.col("e_miny")),
         "inner",
-    ).select("tile_id", "event_id")
+    )
+    if not has_geom:
+        return cand.select("tile_id", "event_id")
+
+    rings = {
+        r["event_id"]: geom.wkb_to_polygon(bytes(r["geometry_wkb"]))
+        for r in events.select("event_id", "geometry_wkb").collect()
+    }
+    b = tiles.sparkSession.sparkContext.broadcast(rings)
+
+    schema = T.StructType(
+        [
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("event_id", events.schema["event_id"].dataType),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            bx0 = pdf["minx"].to_numpy()
+            by0 = pdf["miny"].to_numpy()
+            bx1 = pdf["maxx"].to_numpy()
+            by1 = pdf["maxy"].to_numpy()
+            for eid, idx in pdf.groupby("event_id").indices.items():
+                keep[idx] = geom.boxes_intersect_polygon(
+                    bx0[idx], by0[idx], bx1[idx], by1[idx], rr[eid]
+                )
+            yield pdf.loc[keep, ["tile_id", "event_id"]]
+
+    return cand.select(
+        "tile_id", "event_id", "minx", "miny", "maxx", "maxy"
+    ).mapInPandas(refine, schema)
 
 
 # --------------------------------------------------------------------------

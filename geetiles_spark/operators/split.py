@@ -18,13 +18,22 @@ Reference (``/root/reference/geetiles/partitions.py:307-384``):
    first occurrence (``partitions.py:383-384``).
 
 Spark design: the normalization bounds are one global agg; the projection is
-a pure column expression; the k-search needs ``n_distinct(band_id)`` per
-candidate k, which is a function of the ~N distinct projection values — we
-collect the projection column (8 bytes/tile) and run the vectorized exact
-search on the driver (at fixture scale; equivalent at any scale where the
-*distinct* projections fit on the driver).  For 10^12 tiles the documented
-approximation is quantile banding (``ntile(nbands)``) — exact-parity mode is
-what fixtures require.  Everything else stays distributed.
+a pure column expression.  Two modes:
+
+* ``method='exact'`` (reference parity): the k-search needs
+  ``n_distinct(band_id)`` per candidate k — a function of only the
+  **distinct** projection values, so we collect ``SELECT DISTINCT _proj``
+  (not the full column) and run the vectorized search on the driver.  For
+  banding along a grid axis the distinct set is O(grid side), not O(tiles);
+  worst case it is still O(N) — that is inherent to the reference's exact
+  semantics (the chosen k depends on every distinct value).
+* ``method='approx'`` (the 10^12-tile scale path): distributed quantile
+  banding — ``approxQuantile`` boundaries (tree-aggregated sketch, no sort,
+  no collect beyond nbands-1 doubles) and a pure-expression bin assignment.
+  Bands are equal-count rather than equal-width; split percentages are
+  honored more tightly than the reference's width banding under skew.
+
+Everything else stays distributed in both modes.
 """
 
 from __future__ import annotations
@@ -61,8 +70,11 @@ def split(
     test_pct: float,
     val_pct: float,
     split_col_name: str = "split",
+    method: str = "exact",
 ) -> DataFrame:
     """Assign 'train'|'test'|'val' per tile by geographic banding."""
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown split method {method!r}")
     bands_train, bands_test, bands_val = band_counts(train_pct, test_pct, val_pct)
     if bands_train + bands_test + bands_val > nbands:
         raise ValueError(
@@ -91,9 +103,35 @@ def split(
     proj_col = F.lit(plon) * nx + F.lit(plat) * ny
     with_proj = with_c.withColumn("_proj", proj_col)
 
-    # exact k-search on the collected projection vector (reference
-    # partitions.py:353-357) — vectorized over all 10k candidates at once
-    proj = np.array([r["_proj"] for r in with_proj.select("_proj").collect()])
+    splits_base = ["train"] * bands_train + ["test"] * bands_test + ["val"] * bands_val
+
+    if method == "approx":
+        # distributed quantile banding: nbands-1 boundary doubles come back
+        # from a tree-aggregated sketch; the bin assignment is a pure column
+        # expression.  No driver collect proportional to data size.
+        qs = [i / nbands for i in range(1, nbands)]
+        bounds = with_proj.approxQuantile("_proj", qs, 0.001)
+        barr = F.array(*[F.lit(float(x)) for x in bounds])
+        band_expr = F.size(F.filter(barr, lambda x: x < F.col("_proj")))
+        mapping = {
+            b: splits_base[b % len(splits_base)] for b in range(nbands)
+        }
+        map_expr = F.create_map(
+            *[x for bid, s in mapping.items() for x in (F.lit(bid), F.lit(s))]
+        )
+        return (
+            with_proj.withColumn("_band", band_expr)
+            .withColumn(split_col_name, map_expr[F.col("_band")])
+            .drop("_cx", "_cy", "_proj", "_band")
+        )
+
+    # exact k-search (reference partitions.py:353-357): the candidate band
+    # count per k depends only on the DISTINCT projection values, so collect
+    # the distinct set (O(distinct), not O(tiles)) and run the vectorized
+    # search over all 10k candidates at once
+    proj = np.array(
+        [r["_proj"] for r in with_proj.select("_proj").distinct().collect()]
+    )
     band_id = None
     for k in np.linspace(0.1, 50, 10000):
         cand = (proj / (k / nbands)).astype(int)
@@ -113,8 +151,7 @@ def split(
     )
 
     bands_ids = np.sort(np.unique(band_id))
-    splits = ["train"] * bands_train + ["test"] * bands_test + ["val"] * bands_val
-    splits = (splits * (len(bands_ids) // len(splits) + 1))[: len(bands_ids)]
+    splits = (splits_base * (len(bands_ids) // len(splits_base) + 1))[: len(bands_ids)]
     mapping = {int(bid): s for bid, s in zip(bands_ids, splits)}
 
     map_expr = F.create_map(

@@ -92,6 +92,33 @@ class TestGeom:
         # area of triangle part with x>=1,y>=1: triangle (1,1),(3,1),(1,3) = 2
         assert geom.intersection_area_convex(tri, clip2) == pytest.approx(2.0)
 
+    def test_clip_box_batch_bit_parity(self):
+        """clip_box_batch must reproduce clip_polygon_convex float-for-float
+        (same edge order, same IEEE op order) over random subjects/boxes —
+        the contract that lets make_grid_clipped swap the per-cell Python
+        loop for the batched kernel without changing a single output bit."""
+        rng = np.random.default_rng(7)
+        for trial in range(30):
+            nv = int(rng.integers(3, 7))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            r = rng.uniform(0.5, 2.0, nv)
+            subject = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+            subject = geom.ring_close(subject)
+            n = 40
+            bx0 = rng.uniform(-2.5, 1.5, n)
+            by0 = rng.uniform(-2.5, 1.5, n)
+            bx1 = bx0 + rng.uniform(0.1, 2.0, n)
+            by1 = by0 + rng.uniform(0.1, 2.0, n)
+            xs, ys, cnt = geom.clip_box_batch(subject, bx0, by0, bx1, by1)
+            for i in range(n):
+                cell = geom.box_ring(bx0[i], by0[i], bx1[i], by1[i])
+                exp = geom.clip_polygon_convex(subject, cell)
+                if len(exp) == 0:
+                    assert cnt[i] == 0
+                    continue
+                got = np.stack([xs[i, : cnt[i]], ys[i, : cnt[i]]], axis=1)
+                np.testing.assert_array_equal(got, exp[:-1])
+
     def test_convex_intersects_touching(self):
         a = geom.box_ring(0, 0, 1, 1)
         b = geom.box_ring(1, 0, 2, 1)  # shares an edge
