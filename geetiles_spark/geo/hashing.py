@@ -40,6 +40,21 @@ def regionlist_hash(identifiers: list[str]) -> str:
     return _digest(" ".join(identifiers))
 
 
+def regionlist_hash_stream(identifiers) -> str:
+    """Incremental :func:`regionlist_hash` over any iterable — feeds the
+    sha256 as ids stream past, so a 10^12-row id list never materializes
+    (``grid.dataset_hash`` pipes ``toLocalIterator`` through this)."""
+    h = hashlib.sha256()
+    first = True
+    for ident in identifiers:
+        if not first:
+            h.update(b" ")
+        h.update(ident.encode("utf-8"))
+        first = False
+    k = int(h.hexdigest(), 16) % 10**15
+    return str(hex(k))[2:].zfill(13)
+
+
 def _fmt_value(v: float) -> tuple[str, str]:
     """(signed_int_part, frac_digits) of the shortest decimal repr of a
     double that is the result of ``np.round(x, 5)`` — matches numpy's

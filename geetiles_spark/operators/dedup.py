@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: content hash -> keeper id (min) + group size."""
@@ -109,8 +111,9 @@ def lsh_candidate_pairs(
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.band_sig")
     # persist: the self-join would otherwise recompute the full shingle ->
-    # minhash pipeline (the expensive md5 pass) once per side
-    band_rows = band_rows.persist()
+    # minhash pipeline (the expensive md5 pass) once per side; scoped via
+    # cache.track so command/query boundaries unpersist it
+    band_rows = cache.track(band_rows)
     a = band_rows.select(
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )

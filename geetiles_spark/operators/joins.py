@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import cache
 from ..geo import cells, geom
 
 # --------------------------------------------------------------------------
@@ -368,7 +369,7 @@ def intersect_join_cells(
     # persist: the pair set feeds both the argmax window and the left join
     # back to tiles — without it the whole explode+refine chain re-executes
     # per consumer (production equivalent: checkpoint pairs to a table)
-    pairs = spatial_pairs_cell_join(tiles, foreign, level).persist()
+    pairs = cache.track(spatial_pairs_cell_join(tiles, foreign, level))
     w = Window.partitionBy("tile_id").orderBy(
         F.col("inter_area").desc(), F.col("foreign_idx").asc()
     )
@@ -390,7 +391,7 @@ def foreign_proportions_cells(
     """J2 via cell join: explode props, weight by inter_area / Σ, re-aggregate
     to a map.  Argmax id as in J1."""
     # persist: consumed by the weight window, the explode-agg and the argmax
-    pairs = spatial_pairs_cell_join(tiles, foreign, level).persist()
+    pairs = cache.track(spatial_pairs_cell_join(tiles, foreign, level))
     fprops = foreign.select(F.col("tile_id").alias("foreign_id"), "props")
     with_props = pairs.join(F.broadcast(fprops), "foreign_id")
 

@@ -29,6 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..catalog import Catalog
 from ..operators import assemble, grid, joins, mosaic, random_parts
 from ..operators import select as selectop
@@ -37,6 +38,21 @@ from ..operators import zonal
 from ..sources import chips as chipsrc
 
 
+def scoped(fn):
+    """Run a command inside a cache.persist_scope: operator-level persists
+    (grid tiles, join pairs, LSH band rows) release when the command ends,
+    so a long CLI session never accumulates cached RDDs."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with cache.persist_scope():
+            return fn(*a, **k)
+
+    return wrapper
+
+
+@scoped
 def cmd_grid(
     spark: SparkSession, cat: Catalog, aoi_ring: np.ndarray,
     chip_size_meters: float, name: str = "aschips",
@@ -48,6 +64,7 @@ def cmd_grid(
     return snap
 
 
+@scoped
 def cmd_random(
     spark: SparkSession, cat: Catalog, aoi_ring: np.ndarray,
     max_rectangle_size: float, name: str, seed: int = 42,
@@ -58,6 +75,7 @@ def cmd_random(
     return cat.save_partitionset(spark, tiles, f"tiles_{name}")
 
 
+@scoped
 def cmd_select(
     spark: SparkSession, cat: Catalog, geoms: DataFrame,
     aoi_ring: np.ndarray, name: str,
@@ -66,6 +84,7 @@ def cmd_select(
     return cat.save_partitionset(spark, tiles, f"tiles_{name}")
 
 
+@scoped
 def cmd_download(
     spark: SparkSession, cat: Catalog, tiles_name: str, dataset: str,
     max_downloads: int | None = None, shuffle: bool = True, seed: int = 42,
@@ -93,6 +112,7 @@ def _merge_column(
     return cat.save_partitionset_guarded(spark, merged, table)
 
 
+@scoped
 def cmd_lp_compute(
     spark: SparkSession, cat: Catalog, tiles_name: str, labels_dataset: str
 ) -> str:
@@ -106,6 +126,7 @@ def cmd_lp_compute(
     )
 
 
+@scoped
 def cmd_intersect(
     spark: SparkSession, cat: Catalog, tiles_name: str, foreign_name: str
 ) -> str:
@@ -118,6 +139,7 @@ def cmd_intersect(
     )
 
 
+@scoped
 def cmd_lp_from_foreign(
     spark: SparkSession, cat: Catalog, tiles_name: str, foreign_name: str,
     labels_dataset: str,
@@ -138,6 +160,7 @@ def cmd_lp_from_foreign(
     )
 
 
+@scoped
 def cmd_split(
     spark: SparkSession, cat: Catalog, tiles_name: str, nbands: int,
     angle: float, train_pct: float, test_pct: float, val_pct: float,
@@ -156,6 +179,7 @@ def cmd_split(
     return snap
 
 
+@scoped
 def cmd_dataset(
     spark: SparkSession, cat: Catalog, tiles_name: str,
     images_dataset: str, labels_dataset: str | None, foreign_name: str | None = None,
@@ -183,6 +207,7 @@ def cmd_dataset(
     return cat.write(ds, f"dataset_{tiles_name}_{images_dataset}")
 
 
+@scoped
 def cmd_mosaic(
     spark: SparkSession, cat: Catalog, tiles_name: str, dataset: str,
     meters_per_pixel: float,

@@ -15,6 +15,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as E  # noqa: E402
+from geetiles_spark import cache  # noqa: E402
 from geetiles_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -78,7 +79,8 @@ def main():
             continue
         t0 = time.time()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            with cache.persist_scope():
+                got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
             failures += 1

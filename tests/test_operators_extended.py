@@ -193,6 +193,21 @@ class TestSimilarityScalePath:
             # recall = 1-(1-p^4)^8 = 0.71 at the threshold, higher above it
             assert len(lsh) / len(brute) > 0.5
 
+    def test_blocked_pairs_match_single_block(self, spark):
+        """The block-nested-loop cosine_pairs must be invariant to block
+        count — exercises both the diagonal branch and the cross-block
+        orientation (smaller id landing in either block)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        one = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in similarity.cosine_pairs(emb, 0.35, block_rows=10**6).collect()
+        }
+        many = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in similarity.cosine_pairs(emb, 0.35, block_rows=17).collect()
+        }
+        assert one == many and len(one) > 0
+
     def test_hyperplane_buckets_deterministic(self, spark):
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         b1 = {r["vec_id"]: r["bucket"] for r in similarity.hyperplane_buckets(emb, 64).collect()}
