@@ -882,10 +882,20 @@ def _q_interval_spatial_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ev = spark.createDataFrame(pd.DataFrame(rows))
     out = joins.interval_spatial_join(polys, ev, "2020-01-01", "2020-12-31")
-    return out.select(
-        F.col("tile_id").cast("int").alias("box_id"),
-        F.col("event_id").cast("long").alias("event_id"),
-    ).orderBy("box_id", "event_id")
+    # F18: the reference tags matched chips with json.dumps(event props) —
+    # to_json(struct(start, end)) is the Spark twin, value-checked in SQL
+    ev_json = ev.select(
+        "event_id", F.to_json(F.struct(F.col("start"), F.col("end"))).alias("props_json")
+    )
+    return (
+        out.join(F.broadcast(ev_json), "event_id")
+        .select(
+            F.col("tile_id").cast("int").alias("box_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            "props_json",
+        )
+        .orderBy("box_id", "event_id")
+    )
 
 
 _INTERVAL_SPATIAL_SQL = """
@@ -984,6 +994,44 @@ def _q_geo_clipped_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_idx")
 
 
+def _q_geo_chip_dims_mpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: per-tile chip dims derived from meters_per_pixel (reference
+    ``gee.py:281-284`` ceil(max-UTM-edge/mpp)); the SQL twin reuses the
+    grid chain's projected envelope corners."""
+    tiles = _fixture_tiles(spark)
+    ch = chipsrc.generate_chips(tiles, "patternimage-2020", meters_per_pixel=150.0)
+    return ch.select("tile_id", "height", "width").orderBy("tile_id")
+
+
+def _q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule span-sequence invariant, driver-checked: every
+    (kind, text, media_ref, offset) of the pattern documents vs the SQL
+    re-derivation."""
+    from geetiles_spark.sources import docs as docsrc
+
+    tiles = _fixture_tiles(spark)
+    d = docsrc.generate_docs_pattern(tiles, "patternimage-2020")
+    return (
+        d.select("doc_id", F.posexplode("spans").alias("span_pos", "span"))
+        .select(
+            "doc_id", "span_pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "span_pos")
+    )
+
+
+def _q_doc_span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geetiles_spark.sources import docs as docsrc
+
+    tiles = _fixture_tiles(spark)
+    d = docsrc.generate_docs_pattern(tiles, "patternimage-2020")
+    return docsrc.span_sequence_fingerprint(d).orderBy("doc_id")
+
+
 def _q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_pairs(
         _t(spark, sf_dir, "embeddings"), 0.4, dim=64, n_planes=4, n_tables=8
@@ -1038,6 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dataset_assembly": _q_geo_assembly,
         "geo_random_partitions": _q_geo_random_partitions,
         "geo_clipped_grid": _q_geo_clipped_grid,
+        "geo_chip_dims_mpp": _q_geo_chip_dims_mpp,
+        "doc_spans": _q_doc_spans,
+        "doc_span_fingerprints": _q_doc_span_fingerprints,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
     }
 
@@ -1079,6 +1130,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_clipped_grid": _oracle_mod().clipped_grid_oracle_sql(700),
         "geo_dataset_assembly": _oracle_mod().assembly_pattern_oracle_sql(500),
+        "geo_chip_dims_mpp": _oracle_mod().chip_dims_oracle_sql(500, 150.0),
+        "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
+        "doc_span_fingerprints": _oracle_mod().doc_span_fingerprints_oracle_sql(
+            500, "patternimage-2020"
+        ),
         # geo_* entries intentionally omitted: Krüger-series UTM math is not
         # SQL-expressible; they are rows-only here and oracle-tested in tests/
     }

@@ -463,7 +463,85 @@ shoe AS (
   FROM kept k JOIN generate_series(1, 32) g(i) ON g.i <= len(k.xs)
   GROUP BY k.box_id, k.event_id
 )
-SELECT box_id, event_id FROM shoe WHERE area > 0 ORDER BY box_id, event_id
+SELECT s.box_id, s.event_id,
+       '{{"start":"' || e.start || '","end":"' || e."end" || '"}}' AS props_json
+FROM shoe s JOIN ev e ON e.event_id = s.event_id
+WHERE s.area > 0 ORDER BY s.box_id, s.event_id
+"""
+
+
+def doc_spans_oracle_sql(chip_size_m: float, dataset: str) -> str:
+    """Span-sequence oracle (the north-rule per-row invariant, driver-checked):
+    re-derive every (kind, text, media_ref, offset) span of the pattern
+    documents from the tile ids — seed arithmetic, word table indexing and
+    the per-span word join all in SQL."""
+    from ..sources.docs import _WORDS
+
+    wlit = "[" + ", ".join(f"'{w}'" for w in _WORDS) + "]"
+    body, kept_last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {kept_last}", "seeded")
+    tm_sql.add_hex_prefix_int(seed, f"'doc-{dataset}-' || tile_id", 12, "seed")
+    return f"""
+WITH {body},
+{seed.render()},
+base AS (
+  SELECT 'doc-{dataset}-' || tile_id AS doc_id, tile_id, seed, off.g AS span_pos,
+         CASE WHEN off.g % 2 = 1 THEN 'media' ELSE 'text' END AS kind
+  FROM {seed.last()} JOIN generate_series(0, 6) off(g) ON off.g < 2 + seed % 5
+),
+txt AS (
+  SELECT doc_id, span_pos,
+         string_agg(w, ' ' ORDER BY g) AS text
+  FROM (
+    SELECT b.doc_id, b.span_pos, k.g,
+           ({wlit})[(b.seed + 7 * b.span_pos + 13 * k.g) % 24 + 1] AS w
+    FROM base b JOIN generate_series(0, 11) k(g)
+      ON k.g < 3 + (b.seed + 11 * b.span_pos) % 9
+    WHERE b.kind = 'text'
+  )
+  GROUP BY doc_id, span_pos
+)
+SELECT b.doc_id, b.span_pos, b.kind,
+       CASE WHEN b.kind = 'text' THEN t.text ELSE '' END AS text,
+       CASE WHEN b.kind = 'media' THEN '{dataset}/' || b.tile_id ELSE '' END AS media_ref,
+       b.span_pos AS offset
+FROM base b LEFT JOIN txt t ON t.doc_id = b.doc_id AND t.span_pos = b.span_pos
+ORDER BY b.doc_id, b.span_pos
+"""
+
+
+def doc_span_fingerprints_oracle_sql(chip_size_m: float, dataset: str) -> str:
+    """Order-sensitive per-document span fingerprint (sha256 of the
+    concatenated span tuples) — DuckDB twin of
+    ``docs.span_sequence_fingerprint``."""
+    spans = doc_spans_oracle_sql(chip_size_m, dataset)
+    # reuse the full span derivation as a subquery
+    return f"""
+WITH allspans AS ({spans})
+SELECT doc_id,
+       sha256(string_agg(kind || chr(2) || text || chr(2) || media_ref
+                              || chr(2) || CAST("offset" AS VARCHAR),
+                         chr(1) ORDER BY span_pos)) AS span_fingerprint
+FROM allspans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def chip_dims_oracle_sql(chip_size_m: float, mpp: float) -> str:
+    """F12 oracle: per-tile pixel dims from meters_per_pixel — the grid
+    chain already carries the UTM projections of all four envelope corners
+    (q0=(minx,miny), q1=(minx,maxy), q2=(maxx,maxy), q3=(maxx,miny));
+    width/height = ceil(max |edge delta| per axis / mpp)."""
+    body, last = _grid_with(chip_size_m)
+    w = ("greatest(abs(q3_e - q0_e), abs(q2_e - q3_e), "
+         "abs(q1_e - q2_e), abs(q0_e - q1_e))")
+    h = ("greatest(abs(q3_n - q0_n), abs(q2_n - q3_n), "
+         "abs(q1_n - q2_n), abs(q0_n - q1_n))")
+    return f"""
+WITH {body}
+SELECT tile_id,
+       CAST(ceil({h} / {_L(mpp)}) AS INTEGER) AS height,
+       CAST(ceil({w} / {_L(mpp)}) AS INTEGER) AS width
+FROM {last} ORDER BY tile_id
 """
 
 

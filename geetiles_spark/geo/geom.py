@@ -334,6 +334,59 @@ def clip_areas_ring_boxes(
     return area
 
 
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (possibly non-convex) ring —
+    O(n^2), no holes.  Returns closed (4, 2) triangle rings whose areas sum
+    to the polygon area; the convex-clip kernels then extend exactly to
+    non-convex inputs by additivity."""
+    pts = ring_close(np.asarray(ring, dtype=np.float64))[:-1]
+    n = len(pts)
+    if n < 3:
+        return []
+    # orient CCW
+    x, y = pts[:, 0], pts[:, 1]
+    if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        pts = pts[::-1]
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 4 * n * n:
+        guard += 1
+        for k in range(len(idx)):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross <= 0:
+                continue  # reflex or degenerate corner
+            # no other active vertex strictly inside the candidate ear
+            others = [j for j in idx if j not in (i0, i1, i2)]
+            if others:
+                tri = np.array([a, b, c, a])
+                inside = points_in_polygon(pts[others], tri)
+                if inside.any():
+                    continue
+            tris.append(np.array([a, b, c, a]))
+            idx.pop(k)
+            break
+        else:
+            break  # no ear found (degenerate input): stop rather than loop
+    if len(idx) == 3:
+        a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+        tris.append(np.array([a, b, c, a]))
+    return tris
+
+
+def polygon_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
+    """Exact |p ∩ q| for two simple polygons, either possibly NON-convex:
+    triangulate ``q`` (ears are convex) and sum the convex clips of ``p``
+    against each triangle.  Reference parity for the ``geet select`` sliver
+    guard on real (non-convex) admin boundaries (``cmds.py:390-392``)."""
+    total = 0.0
+    for tri in triangulate_ring(q):
+        total += intersection_area_convex(p, tri)
+    return total
+
+
 # ------------------------------------------------------------ predicates ---
 
 

@@ -175,6 +175,61 @@ def assemble_dataset(
     return base.mapInPandas(build, DATASET_SCHEMA)
 
 
+def row_to_chip_pickle(row, foreign_name: str | None = None) -> bytes:
+    """K5 byte-layout parity: serialize one assembled dataset row to the
+    reference's per-chip pickle dict (``cmds.py:496-535``): keys ``chip``
+    (int16 ndarray), ``chip_id``, ``center_latlon`` (lat, lon),
+    ``corners{nw, se}`` (lat, lon arrays), optional ``label`` and
+    ``label_proportions{partitions_aschip, partitions_<f>, foreignid_<f>}``.
+    """
+    import pickle
+
+    r: dict = {}
+    h, w, bands = row["chip_height"], row["chip_width"], row["chip_bands"]
+    chip = np.frombuffer(row["chip"], dtype=np.int16)
+    r["chip"] = chip.reshape((h, w) if bands == 1 else (h, w, bands))
+    r["chip_id"] = row["chip_id"]
+    r["center_latlon"] = np.array([row["center_lat"], row["center_lon"]])
+    r["corners"] = {
+        "nw": np.array([row["corner_nw_lat"], row["corner_nw_lon"]]),
+        "se": np.array([row["corner_se_lat"], row["corner_se_lon"]]),
+    }
+    if row["label"] is not None:
+        r["label"] = np.frombuffer(row["label"], dtype=np.int16).reshape(
+            row["label_height"], row["label_width"]
+        )
+        props: dict = {}
+        if row["props_aschip"] is not None:
+            props["partitions_aschip"] = dict(row["props_aschip"])
+        if foreign_name is not None and row["foreign_id"] is not None:
+            if row["props_foreign"] is not None:
+                props[f"partitions_{foreign_name}"] = dict(row["props_foreign"])
+            props[f"foreignid_{foreign_name}"] = row["foreign_id"]
+        if len(props) > 0:
+            r["label_proportions"] = props
+    return pickle.dumps(r)
+
+
+def write_pickle_zip(
+    dataset: DataFrame, zip_path: str, foreign_name: str | None = None
+) -> int:
+    """K5 packaging parity: one ``data/{chip_id}.pkl`` per row inside a
+    deflate-9 zip (``cmds.py:530-568``).  Driver-side streaming utility for
+    reference-format exports — the TABLE is the engine's scale format; this
+    writes the zip from ``toLocalIterator`` so the dataset never
+    materializes on the driver.  Returns the number of chips written."""
+    from zipfile import ZIP_DEFLATED, ZipFile
+
+    n = 0
+    with ZipFile(zip_path, "w", compression=ZIP_DEFLATED, compresslevel=9) as zf:
+        for row in dataset.toLocalIterator():
+            zf.writestr(
+                f"data/{row['chip_id']}.pkl", row_to_chip_pickle(row, foreign_name)
+            )
+            n += 1
+    return n
+
+
 def save_splits_projection(tiles_with_splits: DataFrame) -> DataFrame:
     """K2: the splits-CSV projection (``partitions.py:387-393``): identifier
     + every split column ('split_nb' excluded)."""

@@ -1,0 +1,39 @@
+"""F9 operator: derive an AOI boundary from a geometry collection.
+
+Reference ``utils.get_boundary`` (``utils.py:72-92``) splits the frame into
+1000-geometry chunks, concave-hulls each chunk, then hulls the chunk hulls —
+a ready-made tree aggregate.  Spark shape: one ``mapInPandas`` pass emits
+each partition's partial hull vertices (a few dozen points per partition),
+the driver alpha-shapes the pooled partials.  The full geometry set never
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..geo import geom, hull
+
+
+def boundary_hull(tiles: DataFrame, alpha: float = 1.0) -> np.ndarray:
+    """Concave boundary ring of every geometry in ``tiles`` (needs
+    ``geometry_wkb``)."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pts = []
+        for pdf in batches:
+            for wkb in pdf["geometry_wkb"]:
+                pts.append(geom.ring_close(geom.wkb_to_polygon(bytes(wkb))))
+        if pts:
+            ring = hull.concave_hull_points(pts, alpha)
+            yield pd.DataFrame({"x": ring[:, 0], "y": ring[:, 1]})
+
+    parts = tiles.select("geometry_wkb").mapInPandas(partial, "x double, y double")
+    pooled = parts.toPandas()
+    if len(pooled) < 3:
+        raise ValueError("not enough geometry to build a boundary")
+    return hull.alpha_shape(pooled.to_numpy(), alpha)

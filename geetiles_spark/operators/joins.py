@@ -611,6 +611,40 @@ def interval_spatial_join(
     ).mapInPandas(refine, schema)
 
 
+def attach_event_props_json(
+    matched: DataFrame, events: DataFrame, prop_cols: list[str]
+) -> DataFrame:
+    """F18 (``defs/globalfloods.py:132-146``): per tile, a map
+    ``event_id -> json(properties)`` over its matched events — the Spark
+    shape of the reference's per-chip ``update_tags(**sprops)`` where each
+    tag value is ``json.dumps(properties - geometry)``.
+
+    ``matched`` is (tile_id, event_id) from :func:`interval_spatial_join`;
+    ``events`` carries the property columns.  Pure column expressions
+    (``to_json(struct(...))`` + sorted ``map_from_entries``).
+    """
+    ev = events.select(
+        "event_id",
+        F.to_json(F.struct(*[F.col(c) for c in prop_cols])).alias("props_json"),
+    )
+    return (
+        matched.join(F.broadcast(ev), "event_id")
+        .groupBy("tile_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_id").cast("string").alias("k"),
+                            F.col("props_json").alias("v"),
+                        )
+                    )
+                )
+            ).alias("event_props")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # J6: group-membership filter
 # --------------------------------------------------------------------------

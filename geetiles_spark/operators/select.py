@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..geo import geom, hashing, utm
 from .grid import TILE_SCHEMA
 
@@ -48,12 +49,10 @@ def select_partitions(geoms: DataFrame, aoi_ring: np.ndarray) -> DataFrame:
                 )[0]:
                     continue
                 # sliver guard: intersection area in degrees^2 (cmds.py:392).
-                # geometry may be non-convex; clip AOI by the geometry's
-                # envelope then intersect exactly via convex clip when the
-                # geometry is convex, else approximate by the envelope clip
-                # (reference uses exact GEOS intersection; engine fixtures
-                # use convex admin shapes)
-                inter = geom.intersection_area_convex(ring, g)
+                # exact for NON-convex geometry AND non-convex AOI:
+                # triangulate the geometry, sum convex clips (additivity) —
+                # reference-parity with GEOS intersection.area
+                inter = geom.polygon_intersection_area(ring, g)
                 if inter <= 1e-5:
                     continue
                 rows.append(
@@ -82,4 +81,4 @@ def select_partitions(geoms: DataFrame, aoi_ring: np.ndarray) -> DataFrame:
         .withColumnRenamed("geom_wkb", "geometry_wkb")
         .select(*[f.name for f in TILE_SCHEMA.fields])
     )
-    return add_area_km2(out.persist())
+    return add_area_km2(cache.track(out))

@@ -53,13 +53,56 @@ CHIP_SCHEMA = T.StructType(
 )
 
 
+def pixel_dims_from_mpp(
+    minx, miny, maxx, maxy, meters_per_pixel: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """F12 (``gee.py:281-284``): per-tile pixel dims from meters_per_pixel —
+    project the tile envelope to the UTM CRS picked by its FIRST envelope
+    corner (``gee.py:275-277`` takes ``coords[0]``), take the max absolute
+    edge delta per axis over the closed envelope ring, ``ceil(/mpp)``.
+    Vectorized per Arrow batch: (pixels_lon, pixels_lat) = (width, height).
+    """
+    from ..geo import utm as _utm
+
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    zones = _utm.utm_zone(minx, miny)
+    south = miny < 0
+    # envelope ring corners (box_ring order), projected per tile
+    lon = np.stack([minx, maxx, maxx, minx], axis=1)
+    lat = np.stack([miny, miny, maxy, maxy], axis=1)
+    px = np.empty_like(lon)
+    py = np.empty_like(lat)
+    for z in np.unique(np.stack([zones, south], axis=1), axis=0):
+        zone_i, south_i = int(z[0]), bool(z[1])
+        sel = (zones == zone_i) & (south == south_i)
+        e, n = _utm.lonlat_to_utm(lon[sel].ravel(), lat[sel].ravel(), zone_i, south_i)
+        px[sel] = e.reshape(-1, 4)
+        py[sel] = n.reshape(-1, 4)
+    # closed-ring edge deltas: 4 edges of the 5-point ring
+    ex = np.concatenate([px, px[:, :1]], axis=1)
+    ey = np.concatenate([py, py[:, :1]], axis=1)
+    dx = np.abs(ex[:, 1:] - ex[:, :-1]).max(axis=1)
+    dy = np.abs(ey[:, 1:] - ey[:, :-1]).max(axis=1)
+    pixels_lon = np.ceil(dx / meters_per_pixel).astype(np.int64)
+    pixels_lat = np.ceil(dy / meters_per_pixel).astype(np.int64)
+    return pixels_lon, pixels_lat
+
+
 def generate_chips(
     tiles: DataFrame,
     dataset_name: str,
     height: int = 100,
     width: int = 100,
+    meters_per_pixel: float | None = None,
 ) -> DataFrame:
-    """mapInPandas chip synthesis for every tile (no shuffle)."""
+    """mapInPandas chip synthesis for every tile (no shuffle).
+
+    With ``meters_per_pixel`` set, per-tile dims come from the reference's
+    ceil(max-UTM-edge / mpp) recipe (F12) instead of fixed height/width.
+    """
 
     # resolve on the driver and ship the plugin object in the closure
     # (cloudpickle) so user-registered defs work on executors — the Spark
@@ -70,11 +113,20 @@ def generate_chips(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for tile_id, wkb, w_, s_, e_, n_ in zip(
+            if meters_per_pixel is not None:
+                ws, hs = pixel_dims_from_mpp(
+                    pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
+                    pdf["maxx"].to_numpy(), pdf["maxy"].to_numpy(),
+                    meters_per_pixel,
+                )
+            else:
+                ws = np.full(len(pdf), width, dtype=np.int64)
+                hs = np.full(len(pdf), height, dtype=np.int64)
+            for k, (tile_id, wkb, w_, s_, e_, n_) in enumerate(zip(
                 pdf["tile_id"], pdf["geometry_wkb"],
                 pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"],
-            ):
-                arr = ddef.synth_chip(tile_id, height, width)
+            )):
+                arr = ddef.synth_chip(tile_id, int(hs[k]), int(ws[k]))
                 if arr is None:
                     rows.append(
                         _row(tile_id, wkb, dataset_name, 0, 0, 0, ddef.get_dtype(),

@@ -168,6 +168,45 @@ class FloodLikeDef(DatasetDef):
         return (rng.random((height, width)) < 0.1).astype(np.uint8)
 
 
+def parse_year_month(dataset_name: str) -> tuple[str, str]:
+    """F15 (``defs/s1grdobs.py:21-40``): split 'name-YYYYMM', validate the
+    month range, raise the reference's error message on any malformation."""
+    msg = "dataset must be year and month, for instance 's1grdobs-202201' for jan 2022"
+    name_split = dataset_name.split("-")
+    if len(name_split) != 2:
+        raise ValueError(f"dataset must be year, month, for instance 's1grdobs-202201' for jan 2022")
+    yearmonth = name_split[1]
+    if len(yearmonth) != 6:
+        raise ValueError(msg)
+    year, month = yearmonth[:4], yearmonth[4:]
+    try:
+        _year = int(year)
+        _month = int(month)
+        if _month < 1 or _month > 12:
+            raise ValueError(f"invalid month {_month}. {msg}")
+    except Exception:
+        raise ValueError(msg) from None
+    return year, month
+
+
+class S1GrdObsDef(DatasetDef):
+    """Monthly SAR observation-count def (``defs/s1grdobs.py``): the dataset
+    name encodes year+month ('s1grdobs-YYYYMM'), parsed and validated at
+    resolution time (F15); chips are uint8 observation counts."""
+
+    name = "s1grdobs-202001"
+    dtype = "uint8"
+
+    def __init__(self, dataset_name: str | None = None):
+        if dataset_name is not None:
+            self.name = dataset_name
+        self.year, self.month = parse_year_month(self.name)
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        rng = np.random.default_rng(chip_seed(tile_id, self.name))
+        return rng.integers(0, 12, size=(height, width), dtype=np.uint8)
+
+
 def pattern_seed(tile_id: str, dataset: str) -> int:
     """48-bit deterministic seed (hex-prefix of the same sha256 recipe as
     :func:`chip_seed`) — small enough for exact BIGINT arithmetic in a SQL
@@ -221,7 +260,20 @@ _REGISTRY: dict[str, type[DatasetDef]] = {
     FloodLikeDef.name: FloodLikeDef,
     PatternLabelDef.name: PatternLabelDef,
     PatternImageDef.name: PatternImageDef,
+    S1GrdObsDef.name: S1GrdObsDef,
 }
+
+
+def _instantiate(cls: type[DatasetDef], name: str) -> DatasetDef:
+    """Defs whose ctor takes the dataset name (monthly/seasonal: F15) get
+    it — reference duck-typing at ``utils.py:104-110``; plain defs fall back
+    to the no-arg ctor + name assignment."""
+    try:
+        return cls(name)
+    except TypeError:
+        d = cls()
+        d.name = name
+        return d
 
 
 def get_dataset_definition(name: str) -> DatasetDef:
@@ -229,13 +281,11 @@ def get_dataset_definition(name: str) -> DatasetDef:
     (``utils.py:98-102``); arbitrary user classes register via
     :func:`register`."""
     if name in _REGISTRY:
-        return _REGISTRY[name]()
+        return _instantiate(_REGISTRY[name], name)
     prefix = name.split("-")[0]
     for key, cls in _REGISTRY.items():
         if key.split("-")[0] == prefix:
-            d = cls()
-            d.name = name
-            return d
+            return _instantiate(cls, name)
     raise ValueError(f"dataset {name} not found")
 
 

@@ -103,6 +103,54 @@ def generate_docs(tiles: DataFrame, datasets: list[str]) -> DataFrame:
     return pairs.mapInPandas(gen, DOC_SCHEMA)
 
 
+def make_spans_pattern(doc_id: str, media_ref: str | None) -> list[dict]:
+    """Closed-form span generator (SQL-expressible twin of
+    :func:`_make_spans`): every span derives from the sha256-prefix seed by
+    integer arithmetic, so the DuckDB oracle re-derives the full
+    (kind, text, media_ref, offset) sequence — the driver-checked form of
+    the span-sequence-equality invariant."""
+    seed = int(hashlib.sha256(doc_id.encode()).hexdigest()[:12], 16)
+    n_spans = 2 + seed % 5
+    spans = []
+    for off in range(n_spans):
+        if media_ref is not None and off % 2 == 1:
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": media_ref, "offset": off}
+            )
+        else:
+            n_words = 3 + (seed + 11 * off) % 9
+            words = [_WORDS[(seed + 7 * off + 13 * k) % 24] for k in range(n_words)]
+            spans.append(
+                {
+                    "kind": "text",
+                    "text": " ".join(words),
+                    "media_ref": "",
+                    "offset": off,
+                }
+            )
+    return spans
+
+
+def generate_docs_pattern(tiles: DataFrame, dataset: str) -> DataFrame:
+    """One pattern-span document per tile (doc_id = 'doc-{dataset}-{tile_id}',
+    media spans pointing at the tile's chip)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tile_id in pdf["tile_id"]:
+                doc_id = f"doc-{dataset}-{tile_id}"
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": make_spans_pattern(doc_id, f"{dataset}/{tile_id}"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return tiles.select("tile_id").mapInPandas(gen, DOC_SCHEMA)
+
+
 def extract_media_refs(docs: DataFrame) -> DataFrame:
     """Positional span scan: (doc_id, span_pos, media_ref) for media spans.
 

@@ -119,6 +119,37 @@ class TestGeom:
                 got = np.stack([xs[i, : cnt[i]], ys[i, : cnt[i]]], axis=1)
                 np.testing.assert_array_equal(got, exp[:-1])
 
+    def test_delaunay_square(self):
+        from geetiles_spark.geo import hull
+
+        pts = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]], dtype=float)
+        tris = hull.delaunay(pts)
+        assert len(tris) == 4
+        # triangulation covers the square exactly
+        total = sum(
+            geom.ring_area(geom.ring_close(pts[t])) for t in tris
+        )
+        assert total == pytest.approx(1.0)
+
+    def test_alpha_shape_recovers_concavity(self):
+        """F9: the alpha shape of an L-shaped point cloud is concave (area
+        well below the convex hull) and contains every point."""
+        from geetiles_spark.geo import hull
+
+        xs, ys = np.meshgrid(np.linspace(0, 4, 17), np.linspace(0, 4, 17))
+        pts = np.stack([xs.ravel(), ys.ravel()], axis=1)
+        lmask = (pts[:, 0] <= 1.5) | (pts[:, 1] <= 1.5)  # L shape
+        pts = pts[lmask]
+        ring = hull.alpha_shape(pts, alpha=1.0)
+        area = geom.ring_area(ring)
+        # true L area = 16 - 2.5*2.5 = 9.75; convex hull would be ~12.875
+        assert 8.5 < area < 10.5
+        inside = geom.points_in_polygon(pts, ring)
+        on_ring = np.array(
+            [np.any(np.all(np.isclose(ring, p), axis=1)) for p in pts]
+        )
+        assert np.all(inside | on_ring)
+
     def test_convex_intersects_touching(self):
         a = geom.box_ring(0, 0, 1, 1)
         b = geom.box_ring(1, 0, 2, 1)  # shares an edge

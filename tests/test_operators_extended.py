@@ -215,6 +215,112 @@ class TestSimilarityScalePath:
         assert b1 == b2
 
 
+class TestLongTailParity:
+    def test_monthly_name_parsing(self):
+        """F15: s1grdobs-YYYYMM parsing + the reference's validation errors
+        (defs/s1grdobs.py:21-40)."""
+        from geetiles_spark.sources import datasets as dsets2
+
+        d = dsets2.get_dataset_definition("s1grdobs-202201")
+        assert (d.year, d.month) == ("2022", "01")
+        for bad in ["s1grdobs", "s1grdobs-2022", "s1grdobs-2022xx", "s1grdobs-202213"]:
+            with pytest.raises(ValueError, match="year"):
+                dsets2.get_dataset_definition(bad)
+
+    def test_pixel_dims_from_mpp(self):
+        """F12: ceil(max UTM envelope edge / mpp) per tile."""
+        w, h = chipsrc.pixel_dims_from_mpp(
+            np.array([6.086]), np.array([49.6865]),
+            np.array([6.114]), np.array([49.7135]), 100.0
+        )
+        # AOI box is ~2.0 km x ~3.0 km -> ~21 x 31 px at 100 m/px
+        assert 15 <= w[0] <= 30 and 25 <= h[0] <= 40
+        # finer mpp scales linearly (same ceil recipe)
+        w2, h2 = chipsrc.pixel_dims_from_mpp(
+            np.array([6.086]), np.array([49.6865]),
+            np.array([6.114]), np.array([49.7135]), 50.0
+        )
+        assert abs(int(w2[0]) - 2 * int(w[0])) <= 1
+        assert abs(int(h2[0]) - 2 * int(h[0])) <= 1
+
+    def test_event_props_json_map(self, spark, tiles_box):
+        """F18: per-tile map event_id -> json(props) (globalfloods tag
+        parity)."""
+        import json
+
+        from geetiles_spark.operators import joins as joinsop
+
+        ev = spark.createDataFrame(
+            [(1, 6.0, 49.6, 6.2, 49.8, "2020-05-01", "2020-06-01")],
+            "event_id int, minx double, miny double, maxx double, maxy double, start string, `end` string",
+        )
+        matched = joinsop.interval_spatial_join(
+            tiles_box, ev, "2020-01-01", "2020-12-31"
+        )
+        tagged = joinsop.attach_event_props_json(matched, ev, ["start", "end"])
+        rows = tagged.collect()
+        assert len(rows) > 0
+        for r in rows:
+            props = json.loads(r["event_props"]["1"])
+            assert props == {"start": "2020-05-01", "end": "2020-06-01"}
+
+    def test_chip_pickle_layout(self, spark, tiles_box):
+        """K5: row -> reference pickle dict (cmds.py:496-535 keys, dtypes,
+        latlon ordering) and the deflate-zip packager round-trip."""
+        import pickle
+        import zipfile as zf
+
+        from geetiles_spark.operators import assemble as asm
+
+        img = chipsrc.generate_chips(tiles_box, "patternimage-2020")
+        lbl = chipsrc.generate_chips(tiles_box, "patternlabels-2020")
+        props = zonal.compute_proportions(tiles_box, lbl, "patternlabels-2020")
+        ds = asm.assemble_dataset(
+            tiles_box, img.unionByName(lbl), "patternimage-2020",
+            "patternlabels-2020", props=props,
+        )
+        row = ds.orderBy("chip_id").first()
+        blob = asm.row_to_chip_pickle(row)
+        r = pickle.loads(blob)
+        assert set(r) == {"chip", "chip_id", "center_latlon", "corners",
+                          "label", "label_proportions"}
+        assert r["chip"].dtype == np.int16 and r["chip"].shape == (100, 100, 3)
+        assert r["label"].dtype == np.int16 and r["label"].shape == (100, 100)
+        # center_latlon is (lat, lon): lat ~49.7, lon ~6.1
+        assert 49 < r["center_latlon"][0] < 50 and 6 < r["center_latlon"][1] < 7
+        nw, se = r["corners"]["nw"], r["corners"]["se"]
+        assert nw[0] > se[0] and nw[1] < se[1]  # nw=(latmax, lonmin)
+        assert set(r["label_proportions"]) == {"partitions_aschip"}
+        # zip packaging
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            n = asm.write_pickle_zip(ds.limit(3), f"{td}/ds.zip")
+            assert n == 3
+            with zf.ZipFile(f"{td}/ds.zip") as z:
+                names = z.namelist()
+                assert len(names) == 3 and all(
+                    nm.startswith("data/") and nm.endswith(".pkl") for nm in names
+                )
+                pickle.loads(z.read(names[0]))
+
+
+class TestBoundaryHull:
+    def test_boundary_from_tiles(self, spark, tiles_box):
+        """F9 end-to-end: tree-aggregated concave boundary of the tile set
+        covers every tile center."""
+        from geetiles_spark.operators import boundary
+
+        ring = boundary.boundary_hull(tiles_box, alpha=1.0)
+        assert len(ring) >= 4
+        rows = tiles_box.select("minx", "miny", "maxx", "maxy").collect()
+        centers = np.array(
+            [[(r["minx"] + r["maxx"]) / 2, (r["miny"] + r["maxy"]) / 2] for r in rows]
+        )
+        from geetiles_spark.geo import geom as g2
+
+        assert g2.points_in_polygon(centers, ring).all()
+
+
 class TestDedupUnits:
     def test_exact_groups(self, spark):
         pdf = pd.DataFrame(
