@@ -161,6 +161,22 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-ring-expansion kNN (the north-rule operator): same result set as
+    the partial-top-k tree reduce, candidates bounded to expanding Chebyshev
+    rings — checked against the same brute-force haversine SQL oracle."""
+    pts = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS id",
+        f"6.0 + {_PX} / 50 AS lon",
+        f"49.6 + {_PY} / 50 AS lat",
+    )
+    out = joins.knn_join_cells(pts, _KNN_QUERIES, k=10)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("point_id").asc())
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "rank", "point_id", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
 def _knn_sql() -> str:
     qs = " UNION ALL ".join(
         f"SELECT '{q}' AS query_id, {lon} AS qlon, {lat} AS qlat"
@@ -1074,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial with SQL twins
         "pip_join": _q_pip_join,
         "knn_points": _q_knn,
+        "knn_points_cells": _q_knn_cells,
         # geo pipeline (rows-only; oracle-tested in tests/ vs pandas reference)
         "geo_grid_tiles": _q_geo_grid,
         "geo_grid_tiles_sql_checked": _q_geo_grid_sql_checked,
@@ -1118,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_spatial_join_exact": _oracle_mod().interval_triangles_oracle_sql(),
         "pip_join": _PIP_SQL,
         "knn_points": _knn_sql(),
+        "knn_points_cells": _knn_sql(),
         "geo_grid_tiles": _grid_full_oracle(),
         "geo_grid_tiles_sql_checked": _grid_oracle(),
         "geo_zonal_props": _oracle_mod().zonal_pattern_oracle_sql(500),

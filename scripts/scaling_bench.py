@@ -86,21 +86,23 @@ def main():
     # interleave configs so hypervisor CPU-steal bursts (observed: steal up
     # to ~25% of user time on this sandbox) don't bias one config; report
     # best-of-3 with its steal fraction
-    raw: dict[int, list[dict]] = {2: [], 8: []}
+    raw: dict[int, list[dict]] = {2: [], 8: [], 32: []}
     for _ in range(3):
-        for cpus in (2, 8):
+        for cpus in (2, 8, 32):
             raw[cpus].append(run_once(cpus))
             print(json.dumps(raw[cpus][-1]), flush=True)
     results = {}
-    for cpus in (2, 8):
+    for cpus in (2, 8, 32):
         best = min(raw[cpus], key=lambda r: r["wall_sec"])
         best["all_runs_sec"] = [r["wall_sec"] for r in raw[cpus]]
         best["all_steal_pct"] = [r["steal_pct"] for r in raw[cpus]]
         results[cpus] = best
 
-    thr8 = results[2]["throughput_rows_per_sec"]
-    thr32 = results[8]["throughput_rows_per_sec"]
-    eff = round(thr32 / (4 * thr8), 3)
+    thr2 = results[2]["throughput_rows_per_sec"]
+    thr8 = results[8]["throughput_rows_per_sec"]
+    thr32c = results[32]["throughput_rows_per_sec"]
+    eff = round(thr8 / (4 * thr2), 3)
+    eff_8_32 = round(thr32c / (4 * thr8), 3)
 
     md = f"""# BENCH — two-parallelism scaling evidence
 
@@ -117,10 +119,17 @@ interleaved runs (hypervisor steal per run reported).
 
 | config | wall (s) | rows out | throughput (rows/s) | runs (s) | steal % per run |
 |---|---|---|---|---|---|
-| local[2]  (N)  | {results[2]['wall_sec']} | {results[2]['rows']} | {thr8} | {results[2]['all_runs_sec']} | {results[2]['all_steal_pct']} |
-| local[8]  (4N) | {results[8]['wall_sec']} | {results[8]['rows']} | {thr32} | {results[8]['all_runs_sec']} | {results[8]['all_steal_pct']} |
+| local[2]  (N)  | {results[2]['wall_sec']} | {results[2]['rows']} | {thr2} | {results[2]['all_runs_sec']} | {results[2]['all_steal_pct']} |
+| local[8]  (4N) | {results[8]['wall_sec']} | {results[8]['rows']} | {thr8} | {results[8]['all_runs_sec']} | {results[8]['all_steal_pct']} |
+| local[32] (16N) | {results[32]['wall_sec']} | {results[32]['rows']} | {thr32c} | {results[32]['all_runs_sec']} | {results[32]['all_steal_pct']} |
 
-**Scaling efficiency (N -> 4N): {eff}**  (target >= 0.8)
+**Scaling efficiency (N -> 4N, local[2] -> local[8]): {eff}**  (target >= 0.8)
+
+Secondary datapoint (8 -> 32 cores, i.e. the second 4x step): {eff_8_32}.
+The 32-core config uses every hardware thread of the VM, so the OS, the
+Spark driver, the JVM GC and hypervisor steal all compete with executor
+threads — on a real cluster those run on separate machines.  The honest
+N -> 4N criterion reading is the isolated-core pair above.
 
 Method notes:
 - both configs execute the identical logical plan on identical input;
