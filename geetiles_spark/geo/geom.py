@@ -565,15 +565,30 @@ class AOIIndex:
             end = starts[k + 1] if k + 1 < len(starts) else len(se)
             self.edge_bins[(int(bxx), int(byy))] = np.unique(se[starts[k]:end])
 
-        # interior status of non-boundary bins via PIP of bin centers
+        # interior status of non-boundary bins: bin centers share only
+        # `grid` distinct y values, so one scanline per row (edge filter +
+        # sorted x-crossings + searchsorted parity) replaces the dense
+        # G^2-points x E-edges PIP.  Same even-odd semantics as
+        # points_in_polygon (crossings strictly right of the point); 256x
+        # fewer edge evaluations — the dense version cost 5.5 s per
+        # executor process on the 27k-vertex Luxembourg ring, paid at
+        # every worker's first grid batch.
         cx = self.minx + (np.arange(grid) + 0.5) * self.sx
         cy = self.miny + (np.arange(grid) + 0.5) * self.sy
-        gx, gy = np.meshgrid(cx, cy, indexing="ij")
-        pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
-        inside = np.zeros(len(pts), dtype=bool)
-        for s in range(0, len(pts), 8192):  # chunked: bounds memory
-            inside[s:s + 8192] = points_in_polygon(pts[s:s + 8192], ring)
-        self.interior = inside.reshape(grid, grid)
+        ex1, ey1 = ring[:-1, 0], ring[:-1, 1]
+        ex2, ey2 = ring[1:, 0], ring[1:, 1]
+        self.interior = np.zeros((grid, grid), dtype=bool)
+        for j in range(grid):
+            y = cy[j]
+            cond = (ey1 <= y) != (ey2 <= y)
+            if not cond.any():
+                continue
+            xint = ex1[cond] + (y - ey1[cond]) * (ex2[cond] - ex1[cond]) / (
+                ey2[cond] - ey1[cond]
+            )
+            xint.sort()
+            crossings = len(xint) - np.searchsorted(xint, cx, side="right")
+            self.interior[:, j] = (crossings % 2).astype(bool)
 
     def boxes_intersect(
         self, minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray
