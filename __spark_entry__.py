@@ -943,18 +943,48 @@ ORDER BY b.box_id, e.event_id
 
 
 def _q_geo_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 with a full DuckDB oracle: pattern-def chips mosaicked (ceil
+    placement, transpose+flip, order-0 resize, NN rotation, non-zero-wins
+    paste in tile order); block content pinned by count/sum/position-sum,
+    all re-derived per pixel in SQL (oracle_sql.mosaic_pattern_oracle_sql)."""
+    from collections.abc import Iterator as _It
+
     tiles = _fixture_tiles(spark)
-    ch = chipsrc.generate_chips(tiles, LABELS)
+    ch = chipsrc.generate_chips(tiles, "patternlabels-2020")
     blocks, _meta = multimodal_mosaic_blocks(ch)
-    return blocks.select(
-        "bx", "by", "h", "w", F.crc32(F.col("payload")).alias("payload_crc")
+
+    def stats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(
+                    r.h, r.w
+                )
+                xs, ys = np.nonzero(arr)
+                v = arr[xs, ys].astype(np.int64)
+                rows.append(
+                    {
+                        "bx": int(r.bx), "by": int(r.by),
+                        "h": int(r.h), "w": int(r.w),
+                        "n_nonzero": len(v),
+                        "pix_sum": int(v.sum()),
+                        "pos_sum": int((v * (xs.astype(np.int64) * r.h + ys)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blocks.mapInPandas(
+        stats,
+        "bx int, by int, h int, w int, n_nonzero long, pix_sum long, pos_sum long",
     ).orderBy("bx", "by")
 
 
 def multimodal_mosaic_blocks(ch):
     from geetiles_spark.operators import mosaic as mosaicop
 
-    return mosaicop.mosaic_blocks(ch, meters_per_pixel=20)
+    # mpp=2 -> ~1000x1500 px canvas: patches straddle the 1024-block seam,
+    # exercising the per-block sub-rect paste
+    return mosaicop.mosaic_blocks(ch, meters_per_pixel=2)
 
 
 def _q_geo_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1149,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_clipped_grid": _oracle_mod().clipped_grid_oracle_sql(700),
         "geo_dataset_assembly": _oracle_mod().assembly_pattern_oracle_sql(500),
         "geo_chip_dims_mpp": _oracle_mod().chip_dims_oracle_sql(500, 150.0),
+        "geo_mosaic_blocks": _oracle_mod().mosaic_pattern_oracle_sql(500, 2.0),
         "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
         "doc_span_fingerprints": _oracle_mod().doc_span_fingerprints_oracle_sql(
             500, "patternimage-2020"

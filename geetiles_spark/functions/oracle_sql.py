@@ -545,6 +545,122 @@ FROM {last} ORDER BY tile_id
 """
 
 
+def mosaic_pattern_oracle_sql(
+    chip_size_m: float,
+    mpp: float,
+    dataset: str = "patternlabels-2020",
+    block: int = 1024,
+    chip_block: int = 10,
+    chip_hw: int = 100,
+) -> str:
+    """K6 oracle: the full mosaic chain in SQL — canvas UTM frame from the
+    global chip bounds, per-tile ``ceil`` pixel placement, the transpose +
+    y-flip + order-0 resize + nearest-neighbor rotation inverse maps, the
+    pattern-def source pixel, and the non-zero-wins paste in tile_id order.
+    Emits per-block pixel statistics (count / sum / position-weighted sum)
+    matching the engine's ``geo_mosaic_blocks`` contract output."""
+    import numpy as np
+
+    from ..sources.datasets import ESA_CODES
+
+    codes = "[" + ", ".join(str(c) for c in ESA_CODES) + "]"
+    lam0 = np.deg2rad(ZONE * 6.0 - 183.0)
+    body, kept_last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(
+        f"SELECT tile_id, minx, miny, maxx, maxy, "
+        f"q0_e, q0_n, q1_e, q1_n, q2_e, q2_n, q3_e, q3_n FROM {kept_last}",
+        "seeded",
+    )
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+
+    # canvas frame: project (min lon, min lat) and (max lon, max lat)
+    env = tm_sql._Chain(
+        f"SELECT min(minx) AS gw, min(miny) AS gs, max(maxx) AS ge, "
+        f"max(maxy) AS gn FROM {kept_last}",
+        "menv",
+    )
+    tm_sql.add_fwd(env, "gw", "gs", lam0, "mmin")
+    tm_sql.add_fwd(env, "ge", "gn", lam0, "mmax")
+    env.add(
+        {
+            "dim_x": f"CAST(round((mmax_e - mmin_e) / {_L(mpp)}) AS BIGINT)",
+            "dim_y": f"CAST(round((mmax_n - mmin_n) / {_L(mpp)}) AS BIGINT)",
+        }
+    )
+
+    # per-tile placement: corner order (w,n)=q1 (w,s)=q0 (e,s)=q3 (e,n)=q2
+    place = f"""
+place AS (
+  SELECT s.tile_id, s.seed, m.dim_x, m.dim_y,
+         CAST(ceil((s.q0_e - m.mmin_e) / {_L(mpp)}) AS BIGINT) AS cpx_q0,
+         CAST(ceil((s.q0_n - m.mmin_n) / {_L(mpp)}) AS BIGINT) AS cpy_q0,
+         CAST(ceil((s.q2_n - m.mmin_n) / {_L(mpp)}) AS BIGINT) AS cpy_q2,
+         CAST(ceil((s.q3_e - m.mmin_e) / {_L(mpp)}) AS BIGINT) AS cpx_q3,
+         CAST(ceil((s.q3_n - m.mmin_n) / {_L(mpp)}) AS BIGINT) AS cpy_q3
+  FROM {seed.last()} s, {env.last()} m
+),
+geomtry AS (
+  SELECT tile_id, seed, dim_x, dim_y,
+         cpx_q0 AS x0_raw, cpx_q3 - cpx_q0 AS ph, cpy_q2 - cpy_q3 AS pw,
+         cpy_q0 - cpy_q3 AS rot_y, cpy_q0 AS swy
+  FROM place
+),
+patches AS (
+  SELECT tile_id, seed, ph, pw, rot_y,
+         x0_raw AS x0, swy - rot_y AS y0,
+         atan2(CAST(rot_y AS DOUBLE), CAST(pw AS DOUBLE)) AS ang
+  FROM geomtry
+  WHERE ph > 0 AND pw > 0
+    AND x0_raw >= 0 AND swy - rot_y >= 0
+    AND x0_raw + ph <= dim_x AND swy - rot_y + pw <= dim_y
+),
+px AS (
+  SELECT p.tile_id, p.seed, p.ph, p.pw, p.ang,
+         p.x0 + gr.g AS x, p.y0 + gc.g AS y, gr.g AS r, gc.g AS c
+  FROM patches p
+  JOIN generate_series(0, 4095) gr(g) ON gr.g < p.ph
+  JOIN generate_series(0, 4095) gc(g) ON gc.g < p.pw
+),
+srcpix AS (
+  SELECT tile_id, seed, ph, pw, x, y,
+         CASE WHEN abs(ang) < 1e-12 THEN r
+              ELSE CAST(round(-sin(ang) * (c - (pw - 1) / 2.0e0)
+                            + cos(ang) * (r - (ph - 1) / 2.0e0)
+                            + (ph - 1) / 2.0e0) AS BIGINT) END AS pr,
+         CASE WHEN abs(ang) < 1e-12 THEN c
+              ELSE CAST(round(cos(ang) * (c - (pw - 1) / 2.0e0)
+                            + sin(ang) * (r - (ph - 1) / 2.0e0)
+                            + (pw - 1) / 2.0e0) AS BIGINT) END AS pc
+  FROM px
+),
+vals AS (
+  SELECT tile_id, x, y,
+         ({codes})[
+           (seed + least(pr * {chip_hw} // ph, {chip_hw - 1}) // {chip_block}
+                 + 31 * (({chip_hw - 1} - least(pc * {chip_hw} // pw, {chip_hw - 1})) // {chip_block})
+           ) % 12 + 1] AS v
+  FROM srcpix
+  WHERE pr >= 0 AND pr < ph AND pc >= 0 AND pc < pw
+),
+winners AS (
+  SELECT x, y, v,
+         row_number() OVER (PARTITION BY x, y ORDER BY tile_id DESC) AS rn
+  FROM vals WHERE v <> 0
+)
+SELECT CAST(x // {block} AS INTEGER) AS bx, CAST(y // {block} AS INTEGER) AS by,
+       {block} AS h, {block} AS w,
+       count(*) AS n_nonzero, CAST(sum(v) AS BIGINT) AS pix_sum,
+       CAST(sum(v * ((x % {block}) * {block} + (y % {block}))) AS BIGINT) AS pos_sum
+FROM winners WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    return f"""
+WITH {body},
+{seed.render()},
+{env.render()},
+{place}
+"""
+
+
 def lsh_pairs_oracle_sql(
     threshold: float,
     dim: int,

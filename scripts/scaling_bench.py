@@ -87,7 +87,7 @@ def main():
     # to ~25% of user time on this sandbox) don't bias one config; report
     # best-of-3 with its steal fraction
     raw: dict[int, list[dict]] = {2: [], 8: [], 32: []}
-    for _ in range(3):
+    for _ in range(int(os.environ.get('SCALING_REPS', '3'))):
         for cpus in (2, 8, 32):
             raw[cpus].append(run_once(cpus))
             print(json.dumps(raw[cpus][-1]), flush=True)
