@@ -1022,6 +1022,13 @@ def _q_geo_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_random_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 katana — the ONE remaining rows-only query, deliberately: the
+    recursion draws from a seeded PCG64 stream in DFS order, so each node's
+    draw index depends on how many draws the preceding subtree consumed —
+    not expressible as closed-form SQL, and the reference itself draws from
+    unseeded global state (``partitions.py:533``).  Determinism +
+    area-conservation + reference-formula parity are pytest-checked
+    (tests/test_operators_extended.py)."""
     f = random_parts.make_random_partitions(spark, AOI_BOX, 1200, seed=13)
     return f.select(
         "row_idx", "tile_id", F.round("area_km2", 9).alias("area_km2")

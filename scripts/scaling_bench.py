@@ -23,7 +23,7 @@ import os
 import subprocess
 import sys
 
-CHIP_SIZE_M = 150  # ~117k tiles over Luxembourg: ~400 core-s of kernel work, enough to amortize stage overheads at both parallelism levels
+CHIP_SIZE_M = 100  # ~263k tiles over Luxembourg: after the r2 kernel speedups (scanline AOIIndex, bincount zonal) the 150 m job finished in ~80 core-s and fixed per-job costs (count actions, bounds collect, stage scheduling) dominated the ratio; 2.25x the tiles restores a kernel-dominated measurement
 
 _RUN_SRC = r"""
 import json, sys, time
