@@ -584,22 +584,35 @@ def _q_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-_DEDUP_LSH_SQL = """
+def _dedup_lsh_sql() -> str:
+    """DuckDB twin of the XOR-mask minhash family: one md5 per shingle,
+    60-bit hex-prefix fold, min over base^mask_j, banded pair join."""
+    from geetiles_spark.operators.dedup import minhash_masks
+
+    masks = minhash_masks(8)
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    mins = ", ".join(
+        f"min(xor(h, CAST({m} AS BIGINT))) AS h{j}" for j, m in enumerate(masks)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR) || '|' || "
+        f"CAST(h{2 * b + 1} AS VARCHAR) AS band_sig FROM sig"
+        for b in range(4)
+    )
+    return f"""
 WITH sh AS (
   SELECT DISTINCT d.doc_id, substr(d.text, g.i, 5) AS shingle
   FROM documents d JOIN generate_series(1, 2000) g(i) ON g.i <= greatest(length(d.text) - 4, 1)
+), hh AS (
+  SELECT doc_id, CAST({fold} AS BIGINT) AS h FROM sh
 ), sig AS (
-  SELECT doc_id,
-    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-    min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-    min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, {mins} FROM hh GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band, h0 || h1 AS band_sig FROM sig
-  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
-  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
-  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+  {band_rows}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
@@ -1156,7 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
-        "dedup_minhash_lsh": _DEDUP_LSH_SQL,
+        "dedup_minhash_lsh": _dedup_lsh_sql(),
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
