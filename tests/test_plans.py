@@ -1,0 +1,60 @@
+"""Physical-plan regression guards: the properties that make the engine's
+plans survive a 100x scale-up, asserted over the real contract queries.
+
+- no CartesianProduct anywhere, ever;
+- BroadcastNestedLoopJoin only where a theta join against a tiny broadcast
+  catalog is the INTENDED plan (the interval+spatial bbox join — ~25 events
+  broadcast; at catalog scale the cell join replaces it);
+- relational scans push their filters into the parquet reader and prune
+  columns (q1 must not read l_comment).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# bbox theta join vs broadcast event catalog: BNLJ is the right physical
+# plan for a ~25-row broadcast side; everything else must be hash/equi
+BNLJ_ALLOWED = {"interval_spatial_join", "interval_spatial_join_exact"}
+
+
+def _plan(spark, name):
+    return (
+        E.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+class TestPlanShapes:
+    def test_no_cartesian_products(self, spark):
+        for name in E.queries():
+            plan = _plan(spark, name)
+            assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+            if name not in BNLJ_ALLOWED:
+                assert "BroadcastNestedLoopJoin" not in plan, (
+                    f"{name} plans a nested-loop join"
+                )
+
+    def test_q1_pushdown_and_pruning(self, spark):
+        plan = _plan(spark, "q1_pricing_summary")
+        assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+        # column pruning: the wide comment column must not be read
+        assert "l_comment" not in plan
+
+    def test_banded_joins_are_equi(self, spark):
+        for name in ("simhash_hamming_pairs", "dedup_minhash_lsh"):
+            plan = _plan(spark, name)
+            assert (
+                "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan
+            ), f"{name} lost its equi join"
+
+    def test_small_dims_broadcast(self, spark):
+        plan = _plan(spark, "q5_local_supplier")
+        assert "BroadcastHashJoin" in plan  # nation/region dims
