@@ -366,23 +366,34 @@ def intersect_join_cells(
 ) -> DataFrame:
     """J1 via cell join: argmax area, first-max in foreign row order, '-1'
     for tiles with no overlapping foreign."""
-    # persist: the pair set feeds both the argmax window and the left join
+    # persist: the pair set feeds both the argmax agg and the left join
     # back to tiles — without it the whole explode+refine chain re-executes
     # per consumer (production equivalent: checkpoint pairs to a table)
     pairs = cache.track(spatial_pairs_cell_join(tiles, foreign, level))
-    w = Window.partitionBy("tile_id").orderBy(
-        F.col("inter_area").desc(), F.col("foreign_idx").asc()
-    )
-    best = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("tile_id", "foreign_id")
-    )
+    best = _argmax_foreign(pairs)
     return (
         tiles.select("tile_id")
         .join(best, "tile_id", "left")
         .fillna({"foreign_id": "-1"})
     )
+
+
+def _argmax_foreign(pairs: DataFrame) -> DataFrame:
+    """(tile_id, foreign_id) of the max inter_area, first-max in foreign row
+    order on ties — as a PARTIALLY AGGREGATABLE struct-max instead of a
+    row_number window: lexicographic max of (area, -idx, id) gives the same
+    winner with a map-side combine and no per-tile sort (the window form
+    shuffles every pair and sorts each tile group; at 10^12 pairs the
+    partial agg reduces shuffle volume to one row per (task, tile))."""
+    return pairs.groupBy("tile_id").agg(
+        F.max(
+            F.struct(
+                F.col("inter_area"),
+                (-F.col("foreign_idx")).alias("neg_idx"),
+                F.col("foreign_id"),
+            )
+        ).alias("best")
+    ).select("tile_id", F.col("best.foreign_id").alias("foreign_id"))
 
 
 def foreign_proportions_cells(
@@ -414,14 +425,7 @@ def foreign_proportions_cells(
         )
     )
 
-    worder = Window.partitionBy("tile_id").orderBy(
-        F.col("inter_area").desc(), F.col("foreign_idx").asc()
-    )
-    best = (
-        pairs.withColumn("rn", F.row_number().over(worder))
-        .filter(F.col("rn") == 1)
-        .select("tile_id", "foreign_id")
-    )
+    best = _argmax_foreign(pairs)
     out = (
         tiles.select("tile_id")
         .join(best, "tile_id", "left")
