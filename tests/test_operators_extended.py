@@ -151,6 +151,85 @@ class TestStreaming:
         got2 = spark.read.parquet(sink).count()
         assert got2 > got1
 
+    def test_watermarked_hourly_windows(self, spark, tmp_path):
+        """Streaming twin of events_hourly: append-mode watermarked windows
+        close exactly once and match the batch aggregation for every window
+        the watermark has passed."""
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.streaming import ingest
+
+        events_dir = str(tmp_path / "events")
+        sink = str(tmp_path / "esink")
+        ckpt = str(tmp_path / "eckpt")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev.write.mode("append").parquet(events_dir)
+        n = ingest.stream_events_hourly(spark, events_dir, sink, ckpt)
+        assert n == ev.count()
+        got = spark.read.parquet(sink)
+        # append mode: only windows older than (max ts - 1 hour) have closed
+        import datetime
+
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        cutoff = max_ts - datetime.timedelta(hours=1)
+        exp = (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .filter(F.col("hour_start") < F.date_trunc("hour", F.lit(cutoff)))
+        )
+        gotf = got.filter(F.col("hour_start") < F.date_trunc("hour", F.lit(cutoff)))
+        assert gotf.count() == exp.count() and exp.count() > 0
+        assert (
+            gotf.exceptAll(exp).count() == 0 and exp.exceptAll(gotf).count() == 0
+        )
+        # idempotent: re-trigger with no new files appends nothing
+        ingest.stream_events_hourly(spark, events_dir, sink, ckpt)
+        assert spark.read.parquet(sink).count() == got.count()
+
+    def test_stateful_sessionize_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessionizer: every session CLOSED by an
+        in-stream gap must equal the batch events_sessions rows (same 30-min
+        gap rule); each user's final session may legitimately still sit in
+        the state store awaiting timeout."""
+        import __spark_entry__ as E
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.streaming import ingest
+
+        events_dir = str(tmp_path / "events")
+        sink = str(tmp_path / "ssink")
+        ckpt = str(tmp_path / "sckpt")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev.write.mode("append").parquet(events_dir)
+        n = ingest.stream_sessionize(spark, events_dir, sink, ckpt)
+        assert n == ev.count()
+        got = {
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        batch = E.queries()["events_sessions"](spark, "/root/testdata/sf0.001")
+        last = batch.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
+        closed = batch.join(last, ["user_id", "session_id"], "left_anti")
+        exp = {
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in closed.collect()
+        }
+        assert exp, "fixture must contain multi-session users"
+        # every batch-closed session was emitted by the stream; the stream
+        # may additionally have flushed timed-out final sessions
+        assert exp <= got
+        extras = got - exp
+        finals = {
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in batch.join(last, ["user_id", "session_id"]).collect()
+        }
+        assert extras <= finals
+
 
 class TestMultimodal:
     def test_image_stats(self, spark, tiles_box):
