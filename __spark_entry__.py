@@ -4,10 +4,13 @@
 zonal stats -> foreign join -> split) with the sf0.001 documents table
 attached.  ``queries()`` exposes every implemented operator from SURVEY.md
 §2 plus the training-data-pipeline operators (dedup / similarity / text /
-multimodal); ``oracle_sql()`` provides the DuckDB twin for every
-SQL-expressible one.  Geo queries whose math (Krüger-series UTM projection)
-is not reasonably SQL-expressible are rows-only checked here and
-oracle-tested in tests/ against the pandas reference reimplementation.
+multimodal); ``oracle_sql()`` provides the DuckDB twin for every query but
+one — the Krüger-series projection, the sha256 tile identifier, the
+Sutherland–Hodgman clips, the mosaic resample/rotate/paste chain and the
+pattern chip pixels are all re-derived in generated SQL
+(geetiles_spark/functions/{tm_sql,oracle_sql}.py).  The single rows-only
+query is ``geo_random_partitions`` (stateful seeded recursion — see its
+docstring); it is pytest-oracled instead.
 """
 
 from __future__ import annotations
