@@ -267,10 +267,48 @@ class TestSimilarityScalePath:
             ).collect()
         }
         assert lsh <= brute  # refine guarantees precision; recall < 1 is ok
-        if brute:
-            # theory: p = 1 - acos(0.35)/pi = 0.614 per plane;
-            # recall = 1-(1-p^4)^8 = 0.71 at the threshold, higher above it
-            assert len(lsh) / len(brute) > 0.5
+        # theory: p = 1 - acos(0.35)/pi = 0.614 per plane;
+        # recall = 1-(1-p^4)^8 = 0.71 at the threshold, higher above it.
+        # Measured on this fixture: 194/257 = 0.755 (and 0.814 at the
+        # contract's threshold 0.4 on sf0.01) — pin the floor at theory.
+        assert brute and len(lsh) / len(brute) >= 0.70
+
+    def test_lsh_pairs_plan_has_no_distinct(self, spark):
+        """Report-once (first agreeing table) replaced the terminal
+        distinct(); at 1e9-vector candidate volumes that distinct was the
+        dominant shuffle.  Pin: no aggregate keyed on the output pair."""
+        import re
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            similarity.lsh_cosine_pairs(emb, 0.35, dim=64, n_planes=4, n_tables=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not re.search(r"HashAggregate\(keys=\[id_a", plan)
+
+    def test_blocked_pairs_plan_packs_once_no_collect(self, spark):
+        """VERDICT r2 #1: the pack pipeline must appear ONCE in the physical
+        plan (persisted; second join side reads the InMemory relation), and
+        the corpus must never be collected or broadcast (the only broadcast
+        is the tiny B^2/2 pair index)."""
+        from geetiles_spark import cache
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with cache.persist_scope():
+            df = similarity.cosine_pairs(emb, 0.35, block_rows=17)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        # both join sides read the persisted pack output (the cached plan is
+        # PRINTED under each scan, but executes once)
+        assert plan.count("InMemoryTableScan") == 2
+        assert plan.index("InMemoryRelation") < plan.index("FlatMapGroupsInPandas")
+        # the packed corpus bytes are never broadcast (only the tiny pair
+        # index is); the b side co-locates via shuffle_hash
+        import re
+
+        assert "ShuffledHashJoin" in plan
+        assert not re.search(r"BroadcastHashJoin \[bb", plan)
 
     def test_blocked_pairs_match_single_block(self, spark):
         """The block-nested-loop cosine_pairs must be invariant to block
