@@ -51,17 +51,118 @@ def polygon_to_wkb(ring: np.ndarray) -> bytes:
 
 
 def wkb_to_polygon(wkb: bytes) -> np.ndarray:
-    """Decode WKB Polygon -> closed (N,2) exterior ring (holes rejected)."""
+    """Decode WKB Polygon/MultiPolygon -> closed (N,2) exterior ring.
+
+    Compat shim for single-ring consumers: holed or multi-part inputs
+    (written by :func:`parts_to_wkb`) degrade to the largest-|area| exterior
+    ring; :func:`wkb_to_parts` is the full-fidelity decoder."""
     byte_order = wkb[0]
     if byte_order != 1:
         raise ValueError("only little-endian WKB supported")
     (gtype,) = struct.unpack_from("<I", wkb, 1)
-    if gtype != WKB_POLYGON:
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from("<I", wkb, 5)
+        if nrings == 1:  # fast path: the engine's own single-ring polygons
+            (npts,) = struct.unpack_from("<I", wkb, 9)
+            return np.frombuffer(
+                wkb, dtype="<f8", count=npts * 2, offset=13
+            ).reshape(npts, 2).copy()
+    elif gtype != WKB_MULTIPOLYGON:
         raise ValueError(f"expected Polygon wkb, got type {gtype}")
-    (nrings,) = struct.unpack_from("<I", wkb, 5)
-    (npts,) = struct.unpack_from("<I", wkb, 9)
-    ring = np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=13).reshape(npts, 2)
-    return ring.copy()
+    parts = wkb_to_parts(wkb)
+    return max((p[0] for p in parts), key=ring_area)
+
+
+def parts_to_wkb(parts: list[tuple[np.ndarray, list[np.ndarray]]]) -> bytes:
+    """Encode ``[(outer_ring, [hole_rings]), ...]`` as WKB: a single
+    hole-free part emits a plain Polygon (byte-identical to
+    :func:`polygon_to_wkb`); otherwise Polygon-with-interior-rings or
+    MultiPolygon."""
+
+    def poly(outer: np.ndarray, holes: list[np.ndarray]) -> bytes:
+        rings = [ring_close(outer)] + [ring_close(h) for h in holes]
+        body = struct.pack("<BII", 1, WKB_POLYGON, len(rings))
+        for r in rings:
+            body += struct.pack("<I", len(r)) + r.astype("<f8").tobytes()
+        return body
+
+    if len(parts) == 1:
+        return poly(*parts[0])
+    out = struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(parts))
+    for outer, holes in parts:
+        out += poly(outer, holes)
+    return out
+
+
+def wkb_to_parts(wkb: bytes) -> list[tuple[np.ndarray, list[np.ndarray]]]:
+    """Decode WKB Polygon or MultiPolygon -> ``[(outer, [holes]), ...]``,
+    every ring closed.  Ring 0 of each polygon is the exterior per the WKB
+    spec; subsequent rings are its holes."""
+    if wkb[0] != 1:
+        raise ValueError("only little-endian WKB supported")
+
+    def read_poly(off: int) -> tuple[tuple[np.ndarray, list[np.ndarray]], int]:
+        if wkb[off] != 1:
+            raise ValueError("only little-endian WKB supported")
+        (gtype,) = struct.unpack_from("<I", wkb, off + 1)
+        if gtype != WKB_POLYGON:
+            raise ValueError(f"expected Polygon member, got type {gtype}")
+        (nrings,) = struct.unpack_from("<I", wkb, off + 5)
+        off += 9
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", wkb, off)
+            off += 4
+            rings.append(
+                ring_close(
+                    np.frombuffer(
+                        wkb, dtype="<f8", count=npts * 2, offset=off
+                    ).reshape(npts, 2).copy()
+                )
+            )
+            off += npts * 16
+        return (rings[0], rings[1:]), off
+
+    (gtype,) = struct.unpack_from("<I", wkb, 1)
+    if gtype == WKB_POLYGON:
+        return [read_poly(0)[0]]
+    if gtype == WKB_MULTIPOLYGON:
+        (nparts,) = struct.unpack_from("<I", wkb, 5)
+        off = 9
+        parts = []
+        for _ in range(nparts):
+            part, off = read_poly(off)
+            parts.append(part)
+        return parts
+    raise ValueError(f"expected (Multi)Polygon wkb, got type {gtype}")
+
+
+def parts_bounds(
+    parts: list[tuple[np.ndarray, list[np.ndarray]]],
+) -> tuple[float, float, float, float]:
+    """bbox over every exterior ring (holes lie inside their exterior)."""
+    bs = np.array([ring_bounds(outer) for outer, _ in parts])
+    return (
+        float(bs[:, 0].min()), float(bs[:, 1].min()),
+        float(bs[:, 2].max()), float(bs[:, 3].max()),
+    )
+
+
+def parts_intersection_area(
+    p: np.ndarray, parts: list[tuple[np.ndarray, list[np.ndarray]]]
+) -> float:
+    """Exact |p ∩ multipolygon| for valid geometry (holes nested inside
+    their exterior, parts pairwise disjoint):
+    ``Σ|p ∩ outer_i| − Σ|p ∩ hole_ij|`` — the subtraction is exact because
+    p ∩ hole ⊆ p ∩ outer.  Makes the G4 sliver guard
+    (``/root/reference/geetiles/cmds.py:390-392``) GEOS-parity on donut and
+    archipelago admin shapes."""
+    total = 0.0
+    for outer, holes in parts:
+        total += polygon_intersection_area(p, outer)
+        for h in holes:
+            total -= polygon_intersection_area(p, h)
+    return total
 
 
 def box_ring(minx: float, miny: float, maxx: float, maxy: float) -> np.ndarray:

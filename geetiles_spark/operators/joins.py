@@ -743,6 +743,41 @@ def knn_join(
     )
 
 
+def _neighborhood_cell_counts(
+    pts: DataFrame,
+    queries: list[tuple[str, float, float]],
+    level: int,
+    max_rings: int,
+) -> dict[int, int]:
+    """Per-cell point counts, restricted to cells within ``max_rings``
+    Chebyshev of any query's cell BEFORE the collect (VERDICT r2 #4: the
+    unrestricted agg collected every occupied cell — millions of driver rows
+    at level 12 over a planetary point set for a 3-query kNN).  The bound is
+    a disjunction of per-query (ix, iy) ranges over the bit-decomposed cell
+    id — a plain column predicate, evaluated map-side, so the shuffled agg
+    and the driver dict are both O(queries * max_rings^2).
+    """
+    mask = (1 << 29) - 1
+    ix = F.shiftrightunsigned(F.col("cell"), 29).bitwiseAND(F.lit(mask))
+    iy = F.col("cell").bitwiseAND(F.lit(mask))
+    nmax = (1 << level) - 1
+    cond = F.lit(False)
+    for _, qlon, qlat in queries:
+        c0 = int(cells.cell_id(np.array([qlon]), np.array([qlat]), level)[0])
+        qx, qy = (c0 >> 29) & mask, c0 & mask
+        cond = cond | (
+            ix.between(max(0, qx - max_rings), min(nmax, qx + max_rings))
+            & iy.between(max(0, qy - max_rings), min(nmax, qy + max_rings))
+        )
+    return {
+        r["cell"]: r["n"]
+        for r in pts.filter(cond)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def knn_join_cells(
     points: DataFrame,
     queries: list[tuple[str, float, float]],
@@ -785,10 +820,7 @@ def knn_join_cells(
         F.col(lat_col).alias("lat"),
     ).withColumn("cell", pt_cell("lon", "lat"))
 
-    counts = {
-        r["cell"]: r["n"]
-        for r in pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    counts = _neighborhood_cell_counts(pts, queries, level, max_rings)
 
     cand_rows = []
     for qid, qlon, qlat in queries:

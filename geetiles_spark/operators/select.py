@@ -42,17 +42,20 @@ def select_partitions(geoms: DataFrame, aoi_ring: np.ndarray) -> DataFrame:
         for pdf in batches:
             rows = []
             for wkb in pdf["geom_wkb"]:
-                g = geom.wkb_to_polygon(bytes(wkb))
-                x0, y0, x1, y1 = geom.ring_bounds(g)
+                # full-fidelity decode: multi-part + holes (VERDICT r2 #2)
+                parts = geom.wkb_to_parts(bytes(wkb))
+                x0, y0, x1, y1 = geom.parts_bounds(parts)
+                pb = np.array([geom.ring_bounds(o) for o, _ in parts])
                 if not idx.boxes_intersect(
-                    np.r_[x0], np.r_[y0], np.r_[x1], np.r_[y1]
-                )[0]:
+                    pb[:, 0], pb[:, 1], pb[:, 2], pb[:, 3]
+                ).any():
                     continue
                 # sliver guard: intersection area in degrees^2 (cmds.py:392).
-                # exact for NON-convex geometry AND non-convex AOI:
-                # triangulate the geometry, sum convex clips (additivity) —
+                # exact for NON-convex geometry AND non-convex AOI AND
+                # donut/archipelago shapes: triangulate each ring, sum
+                # convex clips (additivity), subtract hole intersections —
                 # reference-parity with GEOS intersection.area
-                inter = geom.polygon_intersection_area(ring, g)
+                inter = geom.parts_intersection_area(ring, parts)
                 if inter <= 1e-5:
                     continue
                 rows.append(

@@ -15,10 +15,13 @@ layout):
   field descriptors terminated by 0x0D, fixed-width latin-1 records with a
   leading deletion flag.
 
-Multi-ring records: the engine's geometry model is single exterior rings
-(the reference never uses holes — SURVEY §1.2), so each record keeps its
-largest-|area| ring (holes and secondary parts dropped; documented
-divergence for multi-part admin shapes).
+Multi-ring records are read at full fidelity (VERDICT r2 #2): per the ESRI
+spec exterior rings are clockwise and holes counter-clockwise; each hole is
+assigned to the exterior part containing its first vertex.  Records encode
+as WKB Polygon / Polygon-with-holes / MultiPolygon
+(:func:`..geo.geom.parts_to_wkb`), which the G4 sliver guard consumes
+exactly; single-ring consumers see the largest exterior via the
+``wkb_to_polygon`` compat shim.
 
 Output: a Spark DataFrame ``(geom_wkb binary, <dbf attributes>)`` — exactly
 the shape :func:`..operators.select.select_partitions` consumes, making
@@ -41,9 +44,17 @@ SHAPE_POLYGON = 5
 SHAPE_POLYGONZ = 15
 
 
-def read_shp_rings(path: str | Path) -> list[np.ndarray | None]:
-    """Parse a .shp file into one exterior ring per record (None for Null
-    shapes)."""
+Parts = list[tuple[np.ndarray, list[np.ndarray]]]
+
+
+def read_shp_parts(path: str | Path) -> list[Parts | None]:
+    """Parse a .shp file into full multipolygon structure per record:
+    ``[(exterior, [holes]), ...]`` (None for Null shapes).
+
+    ESRI orientation rule: exterior rings wind clockwise (negative shoelace),
+    holes counter-clockwise.  A hole attaches to the exterior whose ring
+    contains its first vertex; an orphan CCW ring (mis-oriented producer) is
+    promoted to an exterior part rather than dropped."""
     data = Path(path).read_bytes()
     if len(data) < 100:
         raise ValueError("not a shapefile: truncated header")
@@ -56,7 +67,7 @@ def read_shp_rings(path: str | Path) -> list[np.ndarray | None]:
     if shape_type not in (SHAPE_NULL, SHAPE_POLYGON, SHAPE_POLYGONZ):
         raise ValueError(f"unsupported shape type {shape_type} (need Polygon)")
 
-    rings: list[np.ndarray | None] = []
+    records: list[Parts | None] = []
     off = 100
     while off + 8 <= end:
         _recno, content_words = struct.unpack_from(">ii", data, off)
@@ -64,32 +75,61 @@ def read_shp_rings(path: str | Path) -> list[np.ndarray | None]:
         rec_end = off + content_words * 2
         (stype,) = struct.unpack_from("<i", data, off)
         if stype == SHAPE_NULL:
-            rings.append(None)
+            records.append(None)
             off = rec_end
             continue
         if stype not in (SHAPE_POLYGON, SHAPE_POLYGONZ):
             raise ValueError(f"record shape type {stype} unsupported")
         num_parts, num_points = struct.unpack_from("<ii", data, off + 36)
-        parts = np.frombuffer(data, dtype="<i4", count=num_parts, offset=off + 44)
+        part_offs = np.frombuffer(data, dtype="<i4", count=num_parts, offset=off + 44)
         pts_off = off + 44 + 4 * num_parts
         pts = np.frombuffer(
             data, dtype="<f8", count=num_points * 2, offset=pts_off
         ).reshape(num_points, 2)
-        # keep the largest-|area| part as the exterior ring
-        best = None
-        best_area = -1.0
-        bounds_list = list(parts) + [num_points]
+        bounds_list = list(part_offs) + [num_points]
+        exteriors: list[np.ndarray] = []
+        holes: list[np.ndarray] = []
         for p in range(num_parts):
             ring = pts[bounds_list[p]:bounds_list[p + 1]]
             if len(ring) < 4:
                 continue
-            a = geom.ring_area(geom.ring_close(ring))
-            if a > best_area:
-                best_area = a
-                best = ring
-        rings.append(geom.ring_close(best.copy()) if best is not None else None)
+            ring = geom.ring_close(ring.copy())
+            x, y = ring[:-1, 0], ring[:-1, 1]
+            signed = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) * 0.5
+            (exteriors if signed <= 0 else holes).append(ring)
+        if not exteriors and holes:
+            # whole record mis-oriented: promote
+            exteriors, holes = holes, []
+        if not exteriors:
+            records.append(None)
+            off = rec_end
+            continue
+        parts: Parts = [(ext, []) for ext in exteriors]
+        for h in holes:
+            owner = None
+            for i, (ext, _) in enumerate(parts):
+                if geom.points_in_polygon(h[:1], ext)[0]:
+                    owner = i
+                    break
+            if owner is None:
+                parts.append((h, []))  # orphan CCW ring -> exterior part
+            else:
+                parts[owner][1].append(h)
+        records.append(parts)
         off = rec_end
-    return rings
+    return records
+
+
+def read_shp_rings(path: str | Path) -> list[np.ndarray | None]:
+    """Compat: one exterior ring per record — the largest-|area| exterior
+    (None for Null shapes).  Full fidelity: :func:`read_shp_parts`."""
+    out: list[np.ndarray | None] = []
+    for parts in read_shp_parts(path):
+        if parts is None:
+            out.append(None)
+        else:
+            out.append(max((p[0] for p in parts), key=geom.ring_area))
+    return out
 
 
 def read_dbf(path: str | Path) -> pd.DataFrame:
@@ -141,16 +181,16 @@ def read_shapefile(spark: SparkSession, shp_path: str | Path) -> DataFrame:
     ``gpd.read_file`` — the returned DataFrame is what scales.
     """
     shp_path = Path(shp_path)
-    rings = read_shp_rings(shp_path)
+    recs = read_shp_parts(shp_path)
     dbf_path = shp_path.with_suffix(".dbf")
-    attrs = read_dbf(dbf_path) if dbf_path.exists() else pd.DataFrame(index=range(len(rings)))
-    if len(attrs) not in (0, len(rings)):
+    attrs = read_dbf(dbf_path) if dbf_path.exists() else pd.DataFrame(index=range(len(recs)))
+    if len(attrs) not in (0, len(recs)):
         raise ValueError(
-            f".dbf has {len(attrs)} records but .shp has {len(rings)}"
+            f".dbf has {len(attrs)} records but .shp has {len(recs)}"
         )
-    keep = [i for i, r in enumerate(rings) if r is not None]
+    keep = [i for i, r in enumerate(recs) if r is not None]
     out = pd.DataFrame(
-        {"geom_wkb": [geom.polygon_to_wkb(rings[i]) for i in keep]}
+        {"geom_wkb": [geom.parts_to_wkb(recs[i]) for i in keep]}
     )
     if len(attrs):
         out = pd.concat(

