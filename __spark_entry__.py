@@ -35,6 +35,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp queries need UTC wall-clock interpretation for ``epoch_us``
+    parity with the DuckDB oracle.  ``geetiles_spark.session`` pins UTC; for
+    foreign sessions (the driver's) this no-ops when already correct and
+    sets it once otherwise — queries stay side-effect-free on properly
+    configured sessions (VERDICT r2 #8)."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # --------------------------------------------------------------------------
 # geo fixtures (deterministic, independent of sf_dir)
 # --------------------------------------------------------------------------
@@ -382,8 +392,7 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # epoch_us parity with DuckDB requires UTC wall-clock interpretation
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_utc(spark)
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -494,8 +503,7 @@ ORDER BY c_nationkey, rank
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # epoch_us parity with DuckDB requires UTC wall-clock interpretation
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_utc(spark)
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -518,8 +526,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # epoch_us parity with DuckDB requires UTC wall-clock interpretation
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_utc(spark)
     e = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)

@@ -530,12 +530,14 @@ def chip_dims_oracle_sql(chip_size_m: float, mpp: float) -> str:
     """F12 oracle: per-tile pixel dims from meters_per_pixel — the grid
     chain already carries the UTM projections of all four envelope corners
     (q0=(minx,miny), q1=(minx,maxy), q2=(maxx,maxy), q3=(maxx,miny));
-    width/height = ceil(max |edge delta| per axis / mpp)."""
+    width/height = ceil(UTM-envelope span per axis / mpp) — max-min over the
+    projected corners, mirroring the reference's project-then-``.bounds``
+    (ADVICE r2: edge deltas can undershoot the envelope under shear)."""
     body, last = _grid_with(chip_size_m)
-    w = ("greatest(abs(q3_e - q0_e), abs(q2_e - q3_e), "
-         "abs(q1_e - q2_e), abs(q0_e - q1_e))")
-    h = ("greatest(abs(q3_n - q0_n), abs(q2_n - q3_n), "
-         "abs(q1_n - q2_n), abs(q0_n - q1_n))")
+    w = ("(greatest(q0_e, q1_e, q2_e, q3_e) - "
+         "least(q0_e, q1_e, q2_e, q3_e))")
+    h = ("(greatest(q0_n, q1_n, q2_n, q3_n) - "
+         "least(q0_n, q1_n, q2_n, q3_n))")
     return f"""
 WITH {body}
 SELECT tile_id,

@@ -80,12 +80,21 @@ def minhash_signatures(
     60-bit base hash per shingle.
 
     The round-1 family computed ``num_hashes`` INDEPENDENT md5 digests per
-    shingle — 8x the digest work for the same candidate quality.  The XOR
-    construction (min over ``base_hash ^ mask_j``) needs ONE digest; each
-    mask is a bijection of the 60-bit space, so distinct shingles never
-    collide (an affine-mod family over a space small enough for exact
-    64-bit arithmetic would collide at web-scale shingle cardinalities).
-    Measured 15.7s -> 5.7s on the sf0.1 suite for identical pipeline shape.
+    shingle — 8x the digest work.  The XOR construction (min over
+    ``base_hash ^ mask_j``) needs ONE digest; each mask is a bijection of
+    the 60-bit space, so distinct shingles never collide (an affine-mod
+    family over a space small enough for exact 64-bit arithmetic would
+    collide at web-scale shingle cardinalities).  Statistical caveat
+    (ADVICE r2): because all components derive from ONE base hash, the
+    per-mask minima are NOT min-wise independent across the family — band
+    recall/variance differs somewhat from an independent-digest family
+    (XOR-of-a-fixed-value preserves neither order nor independence between
+    masks).  Per-component the minhash estimator is still unbiased, and the
+    banded-LSH candidate sets are near-identical in practice; pipelines
+    needing provable pairwise independence should use an affine family over
+    a >=61-bit Mersenne prime (``(a*h+b) mod 2^61-1``), which costs 128-bit
+    arithmetic unavailable in JVM column expressions.  Measured 15.7s ->
+    5.7s on the sf0.1 suite for identical pipeline shape.
     """
     masks = minhash_masks(num_hashes)
     h = minhash_base_hash()

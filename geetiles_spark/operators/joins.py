@@ -581,9 +581,18 @@ def interval_spatial_join(
     if not has_geom:
         return cand.select("tile_id", "event_id")
 
+    # collect only in-window geometries (ADVICE r2: out-of-window rings were
+    # shipped in the broadcast for nothing); a null geometry_wkb (realistic
+    # in a mixed flood catalog) refines by bbox only instead of raising
     rings = {
         r["event_id"]: geom.wkb_to_polygon(bytes(r["geometry_wkb"]))
-        for r in events.select("event_id", "geometry_wkb").collect()
+        for r in events.filter(
+            (F.col("start") >= F.lit(start_lit))
+            & (F.col("end") <= F.lit(end_lit))
+            & F.col("geometry_wkb").isNotNull()
+        )
+        .select("event_id", "geometry_wkb")
+        .collect()
     }
     b = tiles.sparkSession.sparkContext.broadcast(rings)
 
@@ -605,9 +614,13 @@ def interval_spatial_join(
             bx1 = pdf["maxx"].to_numpy()
             by1 = pdf["maxy"].to_numpy()
             for eid, idx in pdf.groupby("event_id").indices.items():
-                keep[idx] = geom.boxes_intersect_polygon(
-                    bx0[idx], by0[idx], bx1[idx], by1[idx], rr[eid]
-                )
+                ring = rr.get(eid)
+                if ring is None:  # null footprint: bbox prefilter is exact
+                    keep[idx] = True
+                else:
+                    keep[idx] = geom.boxes_intersect_polygon(
+                        bx0[idx], by0[idx], bx1[idx], by1[idx], ring
+                    )
             yield pdf.loc[keep, ["tile_id", "event_id"]]
 
     return cand.select(

@@ -58,8 +58,10 @@ def pixel_dims_from_mpp(
 ) -> tuple[np.ndarray, np.ndarray]:
     """F12 (``gee.py:281-284``): per-tile pixel dims from meters_per_pixel —
     project the tile envelope to the UTM CRS picked by its FIRST envelope
-    corner (``gee.py:275-277`` takes ``coords[0]``), take the max absolute
-    edge delta per axis over the closed envelope ring, ``ceil(/mpp)``.
+    corner (``gee.py:275-277`` takes ``coords[0]``), take the UTM-space
+    axis-aligned envelope of the projected corners (per-axis max-min — the
+    reference projects first, THEN takes ``.bounds``; under shear this span
+    can exceed any single edge delta, ADVICE r2), ``ceil(/mpp)``.
     Vectorized per Arrow batch: (pixels_lon, pixels_lat) = (width, height).
     """
     from ..geo import utm as _utm
@@ -81,11 +83,9 @@ def pixel_dims_from_mpp(
         e, n = _utm.lonlat_to_utm(lon[sel].ravel(), lat[sel].ravel(), zone_i, south_i)
         px[sel] = e.reshape(-1, 4)
         py[sel] = n.reshape(-1, 4)
-    # closed-ring edge deltas: 4 edges of the 5-point ring
-    ex = np.concatenate([px, px[:, :1]], axis=1)
-    ey = np.concatenate([py, py[:, :1]], axis=1)
-    dx = np.abs(ex[:, 1:] - ex[:, :-1]).max(axis=1)
-    dy = np.abs(ey[:, 1:] - ey[:, :-1]).max(axis=1)
+    # UTM envelope spans of the projected quad (reference .bounds parity)
+    dx = px.max(axis=1) - px.min(axis=1)
+    dy = py.max(axis=1) - py.min(axis=1)
     pixels_lon = np.ceil(dx / meters_per_pixel).astype(np.int64)
     pixels_lat = np.ceil(dy / meters_per_pixel).astype(np.int64)
     return pixels_lon, pixels_lat

@@ -80,65 +80,94 @@ def stream_sessionize(
     checkpoint_dir: str,
     gap_minutes: int = 30,
     watermark: str = "1 hour",
+    max_files_per_trigger: int = 64,
 ) -> int:
     """Custom stateful streaming operator: per-user sessionization with
     ``applyInPandasWithState`` (event-time timeout).
 
     The streaming counterpart of the batch ``events_sessions`` query: events
     group by user; a session closes when a ``gap_minutes`` silence follows
-    it.  Per micro-batch the handler merges new events with the held open
-    session, emits every session closed by an in-batch gap, and parks the
-    open tail in the state store with an event-time timeout at
-    ``session_end + gap``; when the watermark passes that point the state
-    times out and the session flushes.  Exactly-once via the checkpoint.
+    it.  Correct under CROSS-BATCH out-of-order arrival (ADVICE r2): the
+    state buffers every event timestamp the watermark has not yet finalized,
+    each batch re-sorts the buffer and re-segments it globally (exactly the
+    batch query's sort), and a session is emitted only once it is
+    watermark-FINAL — ``session_end + gap <= watermark`` — at which point no
+    admissible future event (all ``>= watermark``) can extend or merge into
+    it.  Final prefixes leave the buffer; the rest re-arm an event-time
+    timeout at the earliest non-final ``session_end + gap``.  State size is
+    bounded by the watermark horizon per user.  Exactly-once via the
+    checkpoint.
     """
     import datetime
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap = datetime.timedelta(minutes=gap_minutes)
+    gap_us = int(datetime.timedelta(minutes=gap_minutes).total_seconds() * 1e6)
 
-    def sessionize(key, pdf_iter, state):
-        user_id = key[0]
-        if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [{"user_id": user_id, "start_us": start_us,
-                  "end_us": end_us, "n_events": n}]
-            )
-            return
-        ts = []
-        for pdf in pdf_iter:
-            ts.append(pdf["ts"])
-        ts = pd.concat(ts).sort_values()
-        us = (ts.astype("int64") // 1000).to_numpy()  # microseconds
-        cur = state.get if state.exists else None
-        out = []
-        for t in us:
-            if cur is None:
-                cur = (int(t), int(t), 0)
-            start_us, end_us, n = cur
-            if t - end_us > gap.total_seconds() * 1e6:
-                out.append((start_us, end_us, n))
-                cur = (int(t), int(t), 1)
+    def segment(us: np.ndarray) -> list[tuple[int, int, int]]:
+        """Sorted event times -> [(start_us, end_us, n_events)] — the batch
+        query's lag>gap segmentation."""
+        sessions = []
+        start = end = int(us[0])
+        n = 1
+        for t in us[1:]:
+            t = int(t)
+            if t - end > gap_us:
+                sessions.append((start, end, n))
+                start, end, n = t, t, 1
             else:
-                cur = (start_us, max(end_us, int(t)), n + 1)
-        state.update(cur)
-        state.setTimeoutTimestamp(int(cur[1] / 1000 + gap.total_seconds() * 1000))
-        if out:
+                end, n = t, n + 1
+        sessions.append((start, end, n))
+        return sessions
+
+    def flush(user_id, buf: np.ndarray, wm_us: int, state):
+        """Segment the buffer; emit the watermark-final session prefix; park
+        the rest with a timeout at the first non-final session's close."""
+        sessions = segment(buf)
+        n_final = 0
+        while n_final < len(sessions) and sessions[n_final][1] + gap_us <= wm_us:
+            n_final += 1
+        if n_final == len(sessions):
+            state.remove()
+        else:
+            keep_from = sum(s[2] for s in sessions[:n_final])
+            state.update(([int(t) for t in buf[keep_from:]],))
+            # fires when the watermark passes the earliest open session's
+            # close; the timed-out call re-segments and re-arms (+1 ms: the
+            # us->ms floor could otherwise equal the current watermark,
+            # which setTimeoutTimestamp rejects)
+            state.setTimeoutTimestamp(
+                sessions[n_final][1] // 1000 + gap_us // 1000 + 1
+            )
+        if n_final:
             yield pd.DataFrame(
                 [
                     {"user_id": user_id, "start_us": s, "end_us": e, "n_events": n}
-                    for s, e, n in out
+                    for s, e, n in sessions[:n_final]
                 ]
             )
+
+    def sessionize(key, pdf_iter, state):
+        user_id = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.hasTimedOut:
+            (held,) = state.get
+            yield from flush(user_id, np.asarray(held, dtype=np.int64), wm_us, state)
+            return
+        ts = [pdf["ts"] for pdf in pdf_iter]
+        us = (pd.concat(ts).astype("int64") // 1000).to_numpy()  # microseconds
+        if state.exists:
+            (held,) = state.get
+            us = np.concatenate([np.asarray(held, dtype=np.int64), us])
+        us.sort()
+        yield from flush(user_id, us, wm_us, state)
 
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, user_id long, "
                                 "event_type string, value double, props string")
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
     sessions = (
@@ -147,7 +176,7 @@ def stream_sessionize(
         .applyInPandasWithState(
             sessionize,
             "user_id long, start_us long, end_us long, n_events long",
-            "start_us long, end_us long, n long",
+            "buf array<long>",
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

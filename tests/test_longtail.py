@@ -49,6 +49,42 @@ class TestIntervalSpatialJoin:
         assert (pdf["event_id"] == 1).sum() == n_tiles  # event 1 covers all
         assert 0 < (pdf["event_id"] == 4).sum() < n_tiles
 
+    def test_mixed_null_geometry_catalog(self, spark, tiles_box):
+        """ADVICE r2: a mixed catalog where some events carry a footprint
+        and others have geometry_wkb NULL — null footprints refine by bbox
+        (no TypeError on the driver), and out-of-window geometries stay out
+        of the broadcast."""
+        from geetiles_spark.geo import geom
+
+        tri = geom.ring_close(
+            np.array([[6.08, 49.68], [6.12, 49.68], [6.08, 49.72]])
+        )
+        events = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"event_id": 1, "minx": 6.08, "miny": 49.68, "maxx": 6.12,
+                     "maxy": 49.72, "start": "2020-03-01", "end": "2020-04-01",
+                     "geometry_wkb": geom.polygon_to_wkb(tri)},
+                    # null footprint, bbox covers the whole AOI
+                    {"event_id": 2, "minx": 6.0, "miny": 49.6, "maxx": 6.2,
+                     "maxy": 49.8, "start": "2020-03-01", "end": "2020-04-01",
+                     "geometry_wkb": None},
+                    # temporally out AND null geometry: must not be collected
+                    {"event_id": 3, "minx": 6.0, "miny": 49.6, "maxx": 6.2,
+                     "maxy": 49.8, "start": "2019-03-01", "end": "2020-04-01",
+                     "geometry_wkb": None},
+                ]
+            )
+        )
+        pdf = joins.interval_spatial_join(
+            tiles_box, events, "2020-01-01", "2020-12-31"
+        ).toPandas()
+        n_tiles = tiles_box.count()
+        assert set(pdf["event_id"]) == {1, 2}
+        assert (pdf["event_id"] == 2).sum() == n_tiles  # bbox-exact
+        # the triangle footprint excludes tiles in the bbox's lower-right
+        assert 0 < (pdf["event_id"] == 1).sum() < n_tiles
+
 
 class TestGroupFilter:
     def test_arrays_overlap(self, spark, tiles_box):

@@ -192,10 +192,10 @@ class TestStreaming:
         assert spark.read.parquet(sink).count() == got.count()
 
     def test_stateful_sessionize_matches_batch(self, spark, tmp_path):
-        """applyInPandasWithState sessionizer: every session CLOSED by an
-        in-stream gap must equal the batch events_sessions rows (same 30-min
-        gap rule); each user's final session may legitimately still sit in
-        the state store awaiting timeout."""
+        """applyInPandasWithState sessionizer: the emitted set must EQUAL
+        the batch events_sessions rows that are final w.r.t. the final
+        watermark (end + gap <= max_ts - 1h); later sessions legitimately
+        still sit in the state store."""
         import __spark_entry__ as E
         from pyspark.sql import functions as F
 
@@ -213,22 +213,89 @@ class TestStreaming:
             for r in spark.read.parquet(sink).collect()
         }
         batch = E.queries()["events_sessions"](spark, "/root/testdata/sf0.001")
-        last = batch.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
-        closed = batch.join(last, ["user_id", "session_id"], "left_anti")
+        max_us = ev.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).collect()[0][0]
+        # Spark tracks event-time stats at ms granularity
+        wm_us = (max_us // 1000 - 3_600_000) * 1000
+        gap_us = 30 * 60 * 10**6
         exp = {
             (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
-            for r in closed.collect()
+            for r in batch.filter(F.col("end_us") + gap_us <= wm_us).collect()
         }
-        assert exp, "fixture must contain multi-session users"
-        # every batch-closed session was emitted by the stream; the stream
-        # may additionally have flushed timed-out final sessions
-        assert exp <= got
-        extras = got - exp
-        finals = {
+        assert exp, "fixture must contain watermark-final sessions"
+        assert got == exp
+
+    def test_sessionize_out_of_order_across_batches(self, spark, tmp_path):
+        """ADVICE r2 (medium): events arriving in a LATER micro-batch that
+        are older than the held session must re-segment exactly like the
+        batch sort — extending a session's start backwards, splitting off an
+        earlier separate session, and filling an interior gap that merges
+        two otherwise-split sessions."""
+        import datetime
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.streaming import ingest
+
+        base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+        def ev(eid, uid, minutes):
+            return (
+                eid, base + datetime.timedelta(minutes=minutes), uid, "c", 1.0, "{}"
+            )
+
+        cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        # watermark delay 4h keeps the file-2 stragglers admissible after
+        # file 1 (wm = 60min - 240min < -10min), then the file-3 sentinel
+        # pushes the final watermark to 1500-240 = 1260min so every u1/u2
+        # session is watermark-final and flushes via timeout.
+        # file 1: u1 @ +0,+10; u2 @ +60
+        # file 2 (later batch, older events): u1 @ +5 (interior), u1 @ -10
+        #   (extends start back: gap(-10 -> 0) = 10min <= 30); u2 @ +0 (60min
+        #   before its held session -> separate earlier session)
+        f1 = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 60)]
+        f2 = [ev(5, 1, 5), ev(6, 1, -10), ev(7, 2, 0)]
+        f3 = [ev(8, 9, 1500)]
+        events_dir = tmp_path / "events"
+        events_dir.mkdir()
+        for i, rows in enumerate([f1, f2, f3]):
+            p = str(events_dir / f"f{i}")
+            spark.createDataFrame(rows, cols).coalesce(1).write.parquet(p)
+            # file stream orders batches by modification time: force ordering
+            t = time.time() - 300 + i * 60
+            for root, _, files in os.walk(p):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t, t))
+        sink = str(tmp_path / "osink")
+        ckpt = str(tmp_path / "ockpt")
+        ingest.stream_sessionize(
+            spark, str(events_dir) + "/*", sink, ckpt,
+            gap_minutes=30, watermark="4 hours", max_files_per_trigger=1,
+        )
+        got = {
             (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
-            for r in batch.join(last, ["user_id", "session_id"]).collect()
+            for r in spark.read.parquet(sink)
+            .filter(F.col("user_id") != 9)
+            .collect()
         }
-        assert extras <= finals
+
+        def us(minutes):
+            return int(
+                (base + datetime.timedelta(minutes=minutes))
+                .replace(tzinfo=datetime.timezone.utc)
+                .timestamp()
+                * 1e6
+            )
+
+        exp = {
+            (1, us(-10), us(10), 4),  # -10,0,5,10 one session (global sort)
+            (2, us(0), us(0), 1),     # separate earlier session for u2
+            (2, us(60), us(60), 1),
+        }
+        assert got == exp
 
 
 class TestMultimodal:
