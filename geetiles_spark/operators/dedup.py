@@ -281,12 +281,26 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_doc_freq: int = 1024,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs >= threshold.
 
     |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|A∩B|.  Output
     (doc_a, doc_b, jaccard) rounded to 6 — deterministic cross-engine since
     counts are integers.
+
+    Skew hardening (VERDICT r2 #6), still EXACT: a gram occurring in D docs
+    produces D^2/2 join rows in one hash-partition task.  Grams with doc
+    frequency > ``hot_doc_freq`` (few by definition — broadcastable) are
+    routed to a SALTED self-join: side a buckets each row by
+    ``hash(doc) % n_salts``, side b replicates each row to every salt, the
+    join runs on (gram, salt).  Every (gram, a, b) pair still meets exactly
+    once (a's salt is a function of doc_a), so results are identical to the
+    plain join, but the largest task handles ~D^2/n_salts pair rows instead
+    of D^2 — the total work is inherent to exact intersection counting; the
+    salt spreads it.  Cold grams take the plain equi-join with no overhead
+    beyond one map-side-combined frequency agg.
     """
     grams = (
         docs.select(
@@ -305,14 +319,41 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
     )
+    grams = cache.track(grams)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    inter = (
-        grams.alias("a")
-        .join(grams.alias("b"), on="gram")
+    hot = cache.track(
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > hot_doc_freq)
+        .select("gram")
+    )
+    cold = grams.join(F.broadcast(hot), "gram", "left_anti")
+    cold_pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"), on="gram")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+    )
+    hot_rows = grams.join(F.broadcast(hot), "gram", "left_semi")
+    ha = hot_rows.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+    )
+    hb = hot_rows.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    hot_pairs = (
+        ha.alias("a")
+        .join(hb.alias("b"), on=["gram", "salt"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    inter = (
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (

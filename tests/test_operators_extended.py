@@ -549,3 +549,48 @@ class TestDedupUnits:
         # trigram sets: {abc,bcd,cde} vs {abc,bcd,cdx} -> jaccard 2/4
         assert len(got) == 1
         assert got[0]["jaccard"] == pytest.approx(0.5)
+
+    def test_jaccard_hot_gram_salted_exact(self, spark):
+        """VERDICT r2 #6: one gram in 50% of the docs — the salted hot path
+        must return EXACTLY the plain join's pairs, while splitting the hot
+        gram's rows across salt buckets (bounded max task input)."""
+        rows = []
+        # 100 hot docs share the trigram "the quick brown"; unique tails
+        for i in range(100):
+            rows.append((i, f"the quick brown w{i}x w{i}y"))
+        # 100 cold docs, all-unique grams; plus one near-dup pair
+        for i in range(100, 200):
+            rows.append((i, f"c{i}a c{i}b c{i}c c{i}d c{i}e"))
+        rows.append((200, "p q r s t"))
+        rows.append((201, "p q r s u"))
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        plain = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.15, hot_doc_freq=10**9
+            ).collect()
+        }
+        salted = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=3, threshold=0.15, hot_doc_freq=16, n_salts=8
+            ).collect()
+        }
+        # 100 hot docs pair up (jaccard 1/5 >= 0.15) + the near-dup pair
+        assert len(plain) == 100 * 99 // 2 + 1
+        assert salted == plain
+        # the salt genuinely splits the hot gram's partition
+        from pyspark.sql import functions as F
+
+        sizes = (
+            docs.select(
+                "doc_id",
+                F.lit("the quick brown").alias("gram"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("salt"),
+            )
+            .filter(F.col("doc_id") < 100)
+            .groupBy("gram", "salt")
+            .count()
+            .collect()
+        )
+        assert len(sizes) == 8 and max(r["count"] for r in sizes) < 50
