@@ -15,8 +15,10 @@ actual behaviour (no alignment) faithfully (SURVEY §2.7 F10).
 
 One AOI splits into at most ~4^depth cells bounded by area/threshold² — a
 driver-side recursion, exactly like the reference; the *result* becomes a
-distributed DataFrame.  (Splitting a million AOIs would instead run the same
-kernel inside mapInPandas, one AOI per row.)
+distributed DataFrame.  Splitting MANY AOIs runs the same kernel inside
+mapInPandas, one AOI per input row (:func:`make_random_partitions_many`,
+VERDICT r2 #7), with a per-AOI rng derived from (seed, aoi_id) so results
+are independent of partitioning and identical to the driver-side recursion.
 """
 
 from __future__ import annotations
@@ -60,16 +62,14 @@ def katana(
     return result
 
 
-def make_random_partitions(
-    spark: SparkSession,
+def split_one_aoi(
     aoi_ring: np.ndarray,
     max_rectangle_size: float,
-    random_variance: float = 0.1,
-    seed: int = 42,
-) -> DataFrame:
-    """Katana-split the AOI (projected to UTM), reproject pieces to 4326,
-    return a tiles DataFrame (row_idx order = recursion order, matching the
-    reference's list order)."""
+    random_variance: float,
+    rng: np.random.Generator,
+) -> list[dict]:
+    """Project -> katana -> reproject -> tile rows for ONE AOI (the shared
+    kernel of the driver-side and distributed entry points)."""
     aoi_ring = geom.ring_close(np.asarray(aoi_ring, dtype=np.float64))
     env_c = geom.polygon_centroid_of_envelope_ring(aoi_ring)
     zone = int(utm.utm_zone(np.float64(env_c[0]), np.float64(env_c[1])))
@@ -77,7 +77,6 @@ def make_random_partitions(
     ex, ny = utm.lonlat_to_utm(aoi_ring[:, 0], aoi_ring[:, 1], zone, south)
     ring_utm = np.stack([ex, ny], axis=1)
 
-    rng = np.random.default_rng(seed)
     parts = katana(ring_utm, max_rectangle_size, rng, 0, random_variance)
 
     rows = []
@@ -98,6 +97,22 @@ def make_random_partitions(
                 "area_km2": area_km2,
             }
         )
+    return rows
+
+
+def make_random_partitions(
+    spark: SparkSession,
+    aoi_ring: np.ndarray,
+    max_rectangle_size: float,
+    random_variance: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Katana-split the AOI (projected to UTM), reproject pieces to 4326,
+    return a tiles DataFrame (row_idx order = recursion order, matching the
+    reference's list order)."""
+    rows = split_one_aoi(
+        aoi_ring, max_rectangle_size, random_variance, np.random.default_rng(seed)
+    )
     pdf = pd.DataFrame(rows)
     # fresh StructType: StructType.add mutates in place
     schema = T.StructType(
@@ -106,4 +121,59 @@ def make_random_partitions(
     return spark.createDataFrame(pdf, schema=schema)
 
 
-__all__ = ["katana", "make_random_partitions", "polygon_centroid"]
+def aoi_rng(seed: int, aoi_id) -> np.random.Generator:
+    """Per-AOI generator seeded by (seed, crc32(aoi_id)) — stable across
+    partitionings, so the distributed katana is reproducible row-for-row."""
+    import zlib
+
+    return np.random.default_rng([seed, zlib.crc32(str(aoi_id).encode())])
+
+
+def make_random_partitions_many(
+    aois: DataFrame,
+    max_rectangle_size: float,
+    random_variance: float = 0.1,
+    seed: int = 42,
+    id_col: str = "aoi_id",
+    wkb_col: str = "geometry_wkb",
+) -> DataFrame:
+    """Distributed many-AOI katana (VERDICT r2 #7): the seeded recursion
+    runs INSIDE mapInPandas, one AOI per input row — a million admin shapes
+    split in parallel with no driver involvement.  Per-AOI rng from
+    :func:`aoi_rng`, so each AOI's pieces equal
+    ``split_one_aoi(..., aoi_rng(seed, aoi_id))`` exactly, regardless of
+    how rows are partitioned."""
+    from collections.abc import Iterator
+
+    id_type = aois.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField(id_col, id_type)]
+        + TILE_SCHEMA.fields
+        + [T.StructField("area_km2", T.DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, wkb in zip(pdf[id_col], pdf[wkb_col]):
+                ring = geom.wkb_to_polygon(bytes(wkb))
+                rows = split_one_aoi(
+                    ring, max_rectangle_size, random_variance, aoi_rng(seed, aid)
+                )
+                for r in rows:
+                    r[id_col] = aid
+                out.extend(rows)
+            if out:
+                yield pd.DataFrame(out)[[f.name for f in schema.fields]]
+
+    return aois.select(id_col, wkb_col).mapInPandas(run, schema)
+
+
+__all__ = [
+    "katana",
+    "split_one_aoi",
+    "aoi_rng",
+    "make_random_partitions",
+    "make_random_partitions_many",
+    "polygon_centroid",
+]
