@@ -6,11 +6,11 @@ attached.  ``queries()`` exposes every implemented operator from SURVEY.md
 §2 plus the training-data-pipeline operators (dedup / similarity / text /
 multimodal); ``oracle_sql()`` provides the DuckDB twin for every query but
 one — the Krüger-series projection, the sha256 tile identifier, the
-Sutherland–Hodgman clips, the mosaic resample/rotate/paste chain and the
-pattern chip pixels are all re-derived in generated SQL
-(geetiles_spark/functions/{tm_sql,oracle_sql}.py).  The single rows-only
-query is ``geo_random_partitions`` (stateful seeded recursion — see its
-docstring); it is pytest-oracled instead.
+Sutherland–Hodgman clips, the mosaic resample/rotate/paste chain, the
+mode-per-foreign split rollup and the pattern chip pixels are all re-derived
+in generated SQL (geetiles_spark/functions/{tm_sql,oracle_sql}.py).  The
+single rows-only query is ``geo_random_partitions`` (stateful seeded
+recursion — see its docstring); it is pytest-oracled instead.
 """
 
 from __future__ import annotations
@@ -336,6 +336,37 @@ def _q_geo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splitop.split(tiles, 8, 0.3, 0.5, 0.3, 0.2).select(
         "tile_id", "split"
     ).orderBy("tile_id")
+
+
+def _q_geo_split_per_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (``partitions.py:383-384``): within each foreign group take the
+    MODE split (ties: first occurrence in row order) — composes the W1
+    banding and the J1 argmax foreign assignment; the DuckDB twin re-derives
+    all three stages (oracle_sql.split_per_partitions_oracle_sql)."""
+    tiles = _fixture_tiles(spark)
+    sp = splitop.split(tiles, 8, 0.3, 0.5, 0.3, 0.2)
+    j1 = joins.intersect_join_cells(tiles, _foreign_boxes_df(spark))
+    tws = sp.join(j1.select("tile_id", "foreign_id"), "tile_id")
+    out = splitop.split_per_partitions(tws, "foreign_id")
+    return out.select(
+        "tile_id", "foreign_id", "split", "split_foreign_id"
+    ).orderBy("tile_id")
+
+
+def _q_geo_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (``partitions.py:405-413``): comma-separated group-tag overlap
+    filter; tags derive deterministically from row_idx parity so the DuckDB
+    twin reproduces them (oracle_sql.group_filter_oracle_sql)."""
+    tiles = _fixture_tiles(spark)
+    tagged = tiles.withColumn(
+        "group",
+        F.when(F.col("row_idx") % 2 == 0, F.lit("a,b")).otherwise(F.lit("c")),
+    )
+    return (
+        joins.filter_groups(tagged, ["b"])
+        .select("tile_id", F.col("group").alias("group_tag"))
+        .orderBy("tile_id")
+    )
 
 
 def _q_geo_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_intersect_join": _q_geo_intersect,
         "geo_foreign_props": _q_geo_foreign_props,
         "geo_split_bands": _q_geo_split,
+        "geo_split_per_partitions": _q_geo_split_per_partitions,
+        "geo_group_filter": _q_geo_group_filter,
         "geo_chip_stats": _q_geo_chip_stats,
         "geo_mosaic_blocks": _q_geo_mosaic,
         "geo_dataset_assembly": _q_geo_assembly,
@@ -1202,6 +1235,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_intersect_join": _oracle_mod().intersect_oracle_sql(500),
         "geo_foreign_props": _oracle_mod().foreign_props_oracle_sql(500),
         "geo_split_bands": _oracle_mod().split_oracle_sql(500, 8, 0.3, 0.5, 0.3, 0.2),
+        "geo_split_per_partitions": _oracle_mod().split_per_partitions_oracle_sql(
+            500, 8, 0.3, 0.5, 0.3, 0.2
+        ),
+        "geo_group_filter": _oracle_mod().group_filter_oracle_sql(500, "b"),
         "geo_chip_stats": _oracle_mod().chip_stats_pattern_oracle_sql(500),
         "embedding_lsh_pairs": _oracle_mod().lsh_pairs_oracle_sql(
             0.4, dim=64, n_planes=4, n_tables=8

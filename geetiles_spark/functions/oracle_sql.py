@@ -126,25 +126,23 @@ ORDER BY w.tile_id, fp.class
 """
 
 
-def split_oracle_sql(
-    chip_size_m: float,
+def _split_ctes(
+    last: str,
     nbands: int,
     angle: float,
     train_pct: float,
     test_pct: float,
     val_pct: float,
 ) -> str:
-    """W1: envelope-ring centroids, min-max normalization, direction-weighted
-    projection, the exact linspace(0.1, 50, 10000) k-search for exactly
-    ``nbands`` distinct bands, and the cycled train/test/val assignment."""
+    """W1 banding as reusable CTEs ending in ``splits(tile_id, row_idx,
+    split)`` — shared by the standalone split oracle and the A3
+    mode-per-foreign oracle."""
     from ..operators.split import _direction_weights, band_counts
 
     a, b, c = band_counts(train_pct, test_pct, val_pct)
     plon, plat = _direction_weights(angle)
     base = ["train"] * a + ["test"] * b + ["val"] * c
     step = (50.0 - 0.1) / 9999
-
-    body, last = _grid_with(chip_size_m)
     nx = "(cx - bx0) / rx"
     ny = "(cy - by0) / ry"
     if angle < 0:
@@ -152,9 +150,8 @@ def split_oracle_sql(
         ny = f"1 - ({ny})"
     case_items = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(base))
     return f"""
-WITH {body},
 c AS (
-  SELECT tile_id,
+  SELECT tile_id, row_idx,
          (2 * minx + 2 * maxx + minx) / 5 AS cx,
          (2 * miny + 2 * maxy + miny) / 5 AS cy
   FROM {last}
@@ -167,7 +164,7 @@ bb AS (
   FROM bbr
 ),
 p AS (
-  SELECT tile_id, {_L(plon)} * ({nx}) + {_L(plat)} * ({ny}) AS proj
+  SELECT tile_id, row_idx, {_L(plon)} * ({nx}) + {_L(plat)} * ({ny}) AS proj
   FROM c, bb
 ),
 ks AS (SELECT j, 0.1e0 + j * {_L(step)} AS k FROM generate_series(0, 9999) g(j)),
@@ -177,12 +174,95 @@ cnt AS (
 ),
 chosen AS (SELECT k FROM cnt WHERE nb = {nbands} ORDER BY j LIMIT 1),
 bands AS (
-  SELECT tile_id, CAST(trunc(proj / (k / {nbands})) AS BIGINT) AS raw
+  SELECT tile_id, row_idx, CAST(trunc(proj / (k / {nbands})) AS BIGINT) AS raw
   FROM p, chosen
 ),
-ranked AS (SELECT tile_id, dense_rank() OVER (ORDER BY raw) - 1 AS bidx FROM bands)
-SELECT tile_id, CASE (bidx % {len(base)}) {case_items} END AS split
-FROM ranked ORDER BY tile_id
+ranked AS (
+  SELECT tile_id, row_idx, dense_rank() OVER (ORDER BY raw) - 1 AS bidx
+  FROM bands
+),
+splits AS (
+  SELECT tile_id, row_idx, CASE (bidx % {len(base)}) {case_items} END AS split
+  FROM ranked
+)"""
+
+
+def split_oracle_sql(
+    chip_size_m: float,
+    nbands: int,
+    angle: float,
+    train_pct: float,
+    test_pct: float,
+    val_pct: float,
+) -> str:
+    """W1: envelope-ring centroids, min-max normalization, direction-weighted
+    projection, the exact linspace(0.1, 50, 10000) k-search for exactly
+    ``nbands`` distinct bands, and the cycled train/test/val assignment."""
+    body, last = _grid_with(chip_size_m)
+    return f"""
+WITH {body},
+{_split_ctes(last, nbands, angle, train_pct, test_pct, val_pct)}
+SELECT tile_id, split FROM splits ORDER BY tile_id
+"""
+
+
+def split_per_partitions_oracle_sql(
+    chip_size_m: float,
+    nbands: int,
+    angle: float,
+    train_pct: float,
+    test_pct: float,
+    val_pct: float,
+) -> str:
+    """A3 (``partitions.py:383-384``): per foreign group, the MODE of the
+    tile splits, ties resolved by first occurrence in row order (pandas
+    ``value_counts`` parity) — composed from the W1 banding CTEs and the J1
+    argmax foreign assignment."""
+    body, last = _grid_with(chip_size_m)
+    return f"""
+WITH {body},
+{_split_ctes(last, nbands, angle, train_pct, test_pct, val_pct)},
+{_pairs_ctes(last)},
+best AS (
+  SELECT tile_id, fid,
+         row_number() OVER (PARTITION BY tile_id ORDER BY ia DESC, fidx ASC) AS rn
+  FROM pos
+),
+assigned AS (
+  SELECT s.tile_id, s.row_idx, s.split, coalesce(b.fid, '-1') AS foreign_id
+  FROM splits s
+  LEFT JOIN (SELECT tile_id, fid FROM best WHERE rn = 1) b USING (tile_id)
+),
+mode_cte AS (
+  SELECT foreign_id, split,
+         row_number() OVER (
+           PARTITION BY foreign_id
+           ORDER BY count(*) DESC, min(row_idx) ASC
+         ) AS mrn
+  FROM assigned GROUP BY foreign_id, split
+)
+SELECT a.tile_id, a.foreign_id, a.split, m.split AS split_foreign_id
+FROM assigned a
+JOIN (SELECT foreign_id, split FROM mode_cte WHERE mrn = 1) m USING (foreign_id)
+ORDER BY a.tile_id
+"""
+
+
+def group_filter_oracle_sql(chip_size_m: float, want: str) -> str:
+    """J6 (``partitions.py:405-413``): keep tiles whose comma-separated
+    group tag overlaps the wanted set — tags derived deterministically from
+    row_idx parity, matching the Spark query."""
+    body, last = _grid_with(chip_size_m)
+    return f"""
+WITH {body},
+tagged AS (
+  SELECT tile_id,
+         CASE WHEN row_idx % 2 = 0 THEN 'a,b' ELSE 'c' END AS grp
+  FROM {last}
+)
+SELECT tile_id, grp AS group_tag FROM tagged
+WHERE list_has_any(string_split(grp, ','), ['{want}'])
+ORDER BY tile_id
 """
 
 
