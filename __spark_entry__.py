@@ -786,6 +786,20 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == n_clusters: the cluster probe covers the whole
+    partition of the corpus, so the result must EQUAL the brute top-k — the
+    same DuckDB oracle as ``embedding_topk`` hash-checks the quantizer +
+    assignment + probe + rerank machinery end-to-end (a vector dropped or
+    double-assigned by the IVF path breaks equality).  Partial-probe recall
+    is asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(
+        emb, [float(x) for x in qvec], k=10, n_clusters=8, nprobe=8
+    )
+
+
 _EMB_TOPK_SQL = """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
@@ -1171,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         # similarity
         "embedding_topk": _q_embedding_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_neardup_pairs": _q_embedding_neardup,
         # scalar kernels + additional joins with SQL twins
         "pixel_range_map": _q_range_map,
@@ -1220,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_fingerprints": _FINGERPRINTS_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
+        "embedding_ivf_topk": _EMB_TOPK_SQL,
         "embedding_neardup_pairs": _EMB_NEARDUP_SQL,
         "pixel_range_map": _RANGE_MAP_SQL,
         "pixel_value_map": _VALUE_MAP_SQL,

@@ -203,6 +203,118 @@ def cosine_pairs(
 
 
 # --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-probe search
+# --------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    iters: int = 10,
+    sample_target: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer: seeded Lloyd k-means (cosine/spherical) on a
+    DETERMINISTIC hash sample of the corpus — ``pmod(xxhash64(id), mod)==0``
+    with ``mod = ceil(n / sample_target)``, a pushable predicate, so the
+    driver collects O(sample_target) vectors regardless of corpus size.
+    Returns unit-norm centroids (n_clusters, dim)."""
+    n = embeddings.count()
+    mod = max(1, -(-n // sample_target))
+    sample = (
+        embeddings.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)  # stable sample order -> deterministic k-means
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, len(X))
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    C[j] = c / nrm
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — nearest-centroid (max cosine) assignment, one
+    vectorized matmul per Arrow batch.  At production scale this output is
+    written bucketed/partitioned BY ``cluster`` so a probe prunes to
+    ``nprobe`` partitions at scan time."""
+    b = embeddings.sparkSession.sparkContext.broadcast(np.asarray(centroids))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b.value
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "cluster": np.argmax(mat @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, exact-cosine rerank only their members (the brute scan touches
+    ``nprobe / n_clusters`` of the corpus).  ``nprobe == n_clusters`` is
+    EXACT (result-identical to :func:`cosine_topk` — the clusters partition
+    the corpus; the contract oracle checks this equality), smaller
+    ``nprobe`` trades recall for scan fraction (pytest asserts the recall
+    floor)."""
+    C = ivf_centroids(
+        embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col
+    )
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    cand_ids = assigned.filter(
+        F.col("cluster").isin([int(c) for c in probe])
+    ).select("vec_id")
+    cand = embeddings.join(
+        cand_ids.withColumnRenamed("vec_id", id_col), id_col, "left_semi"
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
 # random-hyperplane LSH (scale path)
 # --------------------------------------------------------------------------
 

@@ -645,3 +645,36 @@ class TestDistributedKatana:
             ).collect()
         }
         assert got2 == {(r["aoi_id"], r["row_idx"], r["tile_id"]) for r in got}
+
+
+class TestIVF:
+    def test_full_probe_equals_brute(self, spark):
+        """nprobe == n_clusters covers the whole corpus partition, so IVF
+        must reproduce the brute top-k exactly."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        brute = [(r["rank"], r["vec_id"], r["cos_sim"])
+                 for r in similarity.cosine_topk(emb, q, k=10).collect()]
+        ivf = [(r["rank"], r["vec_id"], r["cos_sim"])
+               for r in similarity.ivf_topk(emb, q, k=10, n_clusters=8, nprobe=8).collect()]
+        assert ivf == brute
+
+    def test_assignment_partitions_corpus(self, spark):
+        """Every vector lands in exactly one cluster (the invariant the
+        full-probe oracle equality rests on), deterministically."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        C = similarity.ivf_centroids(emb, n_clusters=8, seed=42)
+        a1 = {r["vec_id"]: r["cluster"] for r in similarity.ivf_assign(emb, C).collect()}
+        a2 = {r["vec_id"]: r["cluster"] for r in similarity.ivf_assign(emb, C).collect()}
+        assert a1 == a2 and len(a1) == emb.count()
+        assert len(set(a1.values())) > 1  # quantizer actually splits
+
+    def test_partial_probe_recall(self, spark):
+        """nprobe < n_clusters scans a fraction of the corpus; top-k recall
+        stays high because near neighbors share the query's clusters."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        brute = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+        got = {r["vec_id"]
+               for r in similarity.ivf_topk(emb, q, k=10, n_clusters=8, nprobe=3).collect()}
+        assert len(got & brute) / len(brute) >= 0.7
