@@ -227,5 +227,6 @@ def stream_media_refs(
         .start()
     )
     q.awaitTermination()
-    progress = q.lastProgress
-    return int(progress["numInputRows"]) if progress else 0
+    # AvailableNow may run several micro-batches (maxFilesPerTrigger) and
+    # lastProgress is the final — often empty — one; total over the run
+    return int(sum(p["numInputRows"] for p in q.recentProgress))

@@ -678,3 +678,26 @@ class TestIVF:
         got = {r["vec_id"]
                for r in similarity.ivf_topk(emb, q, k=10, n_clusters=8, nprobe=3).collect()}
         assert len(got & brute) / len(brute) >= 0.7
+
+
+class TestPyFilesPackaging:
+    def test_zip_is_importable(self, tmp_path):
+        """spark-submit --py-files artifact: the zip must be importable from
+        sys.path in a clean interpreter (executor shape)."""
+        import subprocess
+        import sys
+
+        from scripts.build_pyfiles import build
+
+        out = build(str(tmp_path / "geetiles_spark.zip"))
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "import geetiles_spark.geo.geom as g; "
+            "import geetiles_spark.operators.similarity; "
+            "print(len(g.box_ring(0,0,1,1)))" % out
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=str(tmp_path),  # away from the repo: the zip must suffice
+        )
+        assert r.returncode == 0 and r.stdout.strip() == "5", r.stderr[-500:]
