@@ -477,14 +477,47 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
     return tris
 
 
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True when every turn of the (closed) ring has the same orientation
+    (collinear runs allowed)."""
+    pts = ring_close(np.asarray(ring, dtype=np.float64))[:-1]
+    if len(pts) < 4:
+        return True
+    e = np.roll(pts, -1, axis=0) - pts
+    ne = np.roll(e, -1, axis=0)
+    cross = e[:, 0] * ne[:, 1] - e[:, 1] * ne[:, 0]
+    tol = 1e-12 * float(np.abs(e).max()) ** 2
+    return bool(np.all(cross >= -tol) or np.all(cross <= tol))
+
+
 def polygon_intersection_area(p: np.ndarray, q: np.ndarray) -> float:
-    """Exact |p ∩ q| for two simple polygons, either possibly NON-convex:
-    triangulate ``q`` (ears are convex) and sum the convex clips of ``p``
-    against each triangle.  Reference parity for the ``geet select`` sliver
-    guard on real (non-convex) admin boundaries (``cmds.py:390-392``)."""
+    """Exact |p ∩ q| for two simple polygons, either possibly NON-convex.
+
+    Sutherland–Hodgman is exact only when the SUBJECT is convex (a concave
+    subject that re-enters the clip region across a corner gains spurious
+    bridge area — found by the hypothesis property suite, round 3), so the
+    convex side is always the S-H subject and a non-convex side is
+    ear-triangulated (convex pieces, additive).  Both non-convex: double
+    triangulation with a bbox prune on triangle pairs.  Reference parity
+    (GEOS ``intersection().area``) for the ``geet select`` sliver guard on
+    real admin boundaries against real non-convex AOIs
+    (``cmds.py:390-392``)."""
+    if ring_is_convex(p):
+        if ring_is_convex(q):
+            return intersection_area_convex(p, q)
+        return sum(intersection_area_convex(p, tri) for tri in triangulate_ring(q))
+    if ring_is_convex(q):
+        return sum(intersection_area_convex(q, tri) for tri in triangulate_ring(p))
+    tp = triangulate_ring(p)
+    tq = triangulate_ring(q)
+    bq = [ring_bounds(t) for t in tq]
     total = 0.0
-    for tri in triangulate_ring(q):
-        total += intersection_area_convex(p, tri)
+    for t1 in tp:
+        x0, y0, x1, y1 = ring_bounds(t1)
+        for t2, (u0, v0, u1, v1) in zip(tq, bq):
+            if x0 > u1 or u0 > x1 or y0 > v1 or v0 > y1:
+                continue
+            total += intersection_area_convex(t1, t2)
     return total
 
 
