@@ -102,6 +102,11 @@ def warmup(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="geetiles-bench")
@@ -111,6 +116,7 @@ def main():
     rows_total = 0
 
     warm = warmup(spark, sf_dir)
+    s0 = _cpu_stat()
 
     # Two interleaved passes, per-query best: the sandbox hypervisor steals
     # CPU in multi-minute bursts (identical suites measured 80s vs 292s
@@ -141,6 +147,11 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    # hypervisor steal over the measured window (multi-minute bursts observed
+    # on this sandbox — identical suites have measured 42s vs 80s wall); a
+    # high value means the weather, not the plans, set the numbers
+    d = [b - a for a, b in zip(s0, _cpu_stat())]
+    steal_pct = round(100.0 * d[7] / max(sum(d), 1), 1)
     print(
         json.dumps(
             {
@@ -151,6 +162,7 @@ def main():
                 "warmup_sec": warm,
                 "sf": sf,
                 "rows_out": rows_total,
+                "steal_pct": steal_pct,
             }
         )
     )
