@@ -369,6 +369,18 @@ def _q_geo_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality (REAL decode path — raw PCM int16 needs no codec lib):
+    per-tile closed-form waveform bytes -> frombuffer decode -> exact-integer
+    rms/peak/zero-crossing reductions, value-hashed against the SQL twin
+    that re-generates every sample (oracle_sql.audio_stats_pattern_oracle_sql)."""
+    from geetiles_spark.sources import audio as audiosrc
+
+    tiles = _fixture_tiles(spark)
+    clips = audiosrc.generate_audio(tiles, "patternpcm-2020")
+    return multimodal.audio_stats(clips).orderBy("tile_id")
+
+
 def _q_geo_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image stats over the SQL-expressible pattern image def — full DuckDB
     oracle (oracle_sql.chip_stats_pattern_oracle_sql)."""
@@ -1207,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_split_per_partitions": _q_geo_split_per_partitions,
         "geo_group_filter": _q_geo_group_filter,
         "geo_chip_stats": _q_geo_chip_stats,
+        "audio_chip_stats": _q_audio_chip_stats,
         "geo_mosaic_blocks": _q_geo_mosaic,
         "geo_dataset_assembly": _q_geo_assembly,
         "geo_random_partitions": _q_geo_random_partitions,
@@ -1256,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_group_filter": _oracle_mod().group_filter_oracle_sql(500, "b"),
         "geo_chip_stats": _oracle_mod().chip_stats_pattern_oracle_sql(500),
+        "audio_chip_stats": _oracle_mod().audio_stats_pattern_oracle_sql(500),
         "embedding_lsh_pairs": _oracle_mod().lsh_pairs_oracle_sql(
             0.4, dim=64, n_planes=4, n_tables=8
         ),

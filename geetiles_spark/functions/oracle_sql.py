@@ -824,3 +824,45 @@ SELECT tile_id, '{dataset}' AS dataset,
        round(avg(CASE WHEN v <> 0 THEN 1.0e0 ELSE 0.0e0 END), 6) AS nonzero_frac
 FROM px GROUP BY tile_id ORDER BY tile_id
 """
+
+
+def audio_stats_pattern_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternpcm-2020",
+    n_samples: int = 1600,
+    sample_rate: int = 16000,
+) -> str:
+    """Audio-modality oracle: the closed-form PCM waveform
+    (``((seed + 7919*i) % 65536) - 32768``, seed =
+    ``int(sha256('{dataset}/'||tile_id)[:12], 16)``) re-generated per sample
+    in SQL, with the SAME exact-integer reductions the engine applies to the
+    decoded int16 bytes — sum of squares (BIGINT-exact), peak, and the
+    sign-change count via lead() — so the value hash checks the byte decode
+    end to end."""
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "aseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    return f"""
+WITH {body},
+{seed.render()},
+samples AS (
+  SELECT tile_id, g.i AS i,
+         ((seed + 7919 * g.i) % 65536) - 32768 AS v
+  FROM {seed.last()}, generate_series(0, {n_samples - 1}) g(i)
+),
+flags AS (
+  SELECT tile_id, i, v,
+         lead(v) OVER (PARTITION BY tile_id ORDER BY i) AS nv
+  FROM samples
+)
+SELECT tile_id,
+       {n_samples} AS n_samples,
+       round({n_samples} / CAST({sample_rate} AS DOUBLE), 6) AS duration_sec,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / {n_samples}), 6) AS rms,
+       CAST(max(abs(v)) AS INTEGER) AS peak,
+       CAST(sum(CASE WHEN nv IS NOT NULL AND (v >= 0) <> (nv >= 0)
+                THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+FROM flags
+GROUP BY tile_id
+ORDER BY tile_id
+"""

@@ -138,3 +138,46 @@ def frame_sample(
             )
 
     return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "tile_id string, n_samples int, duration_sec double, rms double, "
+    "peak int, zero_crossings int"
+)
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """REAL (non-stub) audio decode + reduce: raw PCM int16-LE payloads need
+    no codec library — ``np.frombuffer`` per clip, then exact-integer
+    reductions (sum of squares, peak, sign-change count) so the DuckDB twin
+    (``oracle_sql.audio_stats_pattern_oracle_sql``) reproduces every value
+    bit-for-bit — a payload mis-decode (endianness, width, offset) breaks
+    the hash match.  rms = round(sqrt(sum_sq/n), 6) with the division done
+    in float64 in both engines (identical IEEE order)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.frombuffer(r.payload, dtype="<i2").astype(np.int64)
+                sum_sq = int(np.sum(x * x))
+                n = len(x)
+                pos = x >= 0
+                rows.append(
+                    {
+                        "tile_id": r.tile_id,
+                        "n_samples": n,
+                        "duration_sec": round(n / r.sample_rate, 6),
+                        "rms": float(np.round(np.sqrt(sum_sq / n), 6)),
+                        "peak": int(np.abs(x).max()),
+                        "zero_crossings": int(
+                            np.count_nonzero(pos[:-1] != pos[1:])
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return audio.select(
+        "tile_id", "sample_rate", "payload"
+    ).mapInPandas(run, AUDIO_STATS_SCHEMA)

@@ -766,3 +766,35 @@ class TestMinhashFamilyRecall:
         # measured on this fixture: both families recover the high-sim pairs
         assert recall_xor >= 0.9
         assert recall_xor >= recall_indep - 0.05
+
+
+class TestAudio:
+    def test_pcm_stats_known_clip(self, spark):
+        """Hand-computed PCM clip: decode + reductions are exact."""
+        x = np.array([0, 100, -100, 200, -32768, 32767], dtype="<i2")
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                [{"tile_id": "t0", "dataset": "d", "sample_rate": 16000,
+                  "n_samples": len(x), "payload": x.tobytes()}]
+            )
+        )
+        r = multimodal.audio_stats(df).first()
+        assert r["n_samples"] == 6
+        assert r["peak"] == 32768
+        # sign flips (>=0 boundary): 0->100 no, 100->-100 yes, ->200 yes,
+        # ->-32768 yes, ->32767 yes
+        assert r["zero_crossings"] == 4
+        sum_sq = int(np.sum(x.astype(np.int64) ** 2))
+        assert r["rms"] == float(np.round(np.sqrt(sum_sq / 6), 6))
+        assert r["duration_sec"] == 0.000375
+
+    def test_generated_clips_deterministic(self, spark, tiles_box):
+        from geetiles_spark.sources import audio as audiosrc
+
+        a1 = {r["tile_id"]: bytes(r["payload"])
+              for r in audiosrc.generate_audio(tiles_box).collect()}
+        a2 = {r["tile_id"]: bytes(r["payload"])
+              for r in audiosrc.generate_audio(tiles_box.repartition(3)).collect()}
+        assert a1 == a2 and len(a1) == tiles_box.count()
+        wave = np.frombuffer(next(iter(a1.values())), dtype="<i2")
+        assert len(wave) == 1600 and wave.min() >= -32768
