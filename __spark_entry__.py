@@ -1115,6 +1115,22 @@ def _q_geo_random_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_idx")
 
 
+def _q_geo_random_partitions_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 katana, hash-randomized variant — the FULLY-ORACLED twin of
+    geo_random_partitions: each node's split factor derives from the sha256
+    of its tree path (no generator state), so a DuckDB RECURSIVE CTE
+    reproduces the whole stateful recursion — leaf boxes, DFS row order,
+    Krüger reprojection, sha256 tile ids — bit-for-bit
+    (oracle_sql.random_partitions_hashed_oracle_sql)."""
+    f = random_parts.make_random_partitions_hashed(spark, AOI_BOX, 700)
+    return f.select(
+        "row_idx", "tile_id",
+        F.round("minx", 9).alias("minx"), F.round("miny", 9).alias("miny"),
+        F.round("maxx", 9).alias("maxx"), F.round("maxy", 9).alias("maxy"),
+        F.round("area_km2", 9).alias("area_km2"),
+    ).orderBy("row_idx")
+
+
 def _q_geo_clipped_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 with a full DuckDB oracle (oracle_sql.clipped_grid_oracle_sql runs
     the four-edge Sutherland–Hodgman clip in SQL).  Area rounds to 6: the
@@ -1223,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_mosaic_blocks": _q_geo_mosaic,
         "geo_dataset_assembly": _q_geo_assembly,
         "geo_random_partitions": _q_geo_random_partitions,
+        "geo_random_partitions_hashed": _q_geo_random_partitions_hashed,
         "geo_clipped_grid": _q_geo_clipped_grid,
         "geo_chip_dims_mpp": _q_geo_chip_dims_mpp,
         "doc_spans": _q_doc_spans,
@@ -1268,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             500, 8, 0.3, 0.5, 0.3, 0.2
         ),
         "geo_group_filter": _oracle_mod().group_filter_oracle_sql(500, "b"),
+        "geo_random_partitions_hashed": _oracle_mod().random_partitions_hashed_oracle_sql(700),
         "geo_chip_stats": _oracle_mod().chip_stats_pattern_oracle_sql(500),
         "audio_chip_stats": _oracle_mod().audio_stats_pattern_oracle_sql(500),
         "embedding_lsh_pairs": _oracle_mod().lsh_pairs_oracle_sql(

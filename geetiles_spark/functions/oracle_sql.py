@@ -866,3 +866,116 @@ FROM flags
 GROUP BY tile_id
 ORDER BY tile_id
 """
+
+
+def _hexint_expr(strexpr: str, nchars: int) -> str:
+    """Inline SQL expression: int(sha256(strexpr)[:nchars], 16) as BIGINT —
+    the non-chain twin of ``tm_sql.add_hex_prefix_int`` for use inside a
+    recursive CTE."""
+    if nchars > 15:
+        raise ValueError("nchars > 15 overflows BIGINT")
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(sha256({strexpr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def random_partitions_hashed_oracle_sql(
+    max_rectangle_size: float,
+    random_variance: float = 0.1,
+    salt: str = "katana",
+    zone: int = ZONE,
+) -> str:
+    """G3 (hash-randomized variant): the full stateful recursion in SQL — a
+    recursive CTE splits the AOI's UTM envelope exactly like
+    ``random_parts.katana_hashed_boxes`` (factor from sha256 of the node's
+    tree path, depth-first leaf order = lexicographic path order), leaves
+    inverse-project (Krüger) to lonlat bounds and take the sha256 region
+    hash.  The seeded-numpy katana cannot be oracled (PCG64 state); this
+    twin proves the recursion itself is engine-independent."""
+    import numpy as np
+
+    from . import tm_sql
+
+    lam0 = np.deg2rad(zone * 6.0 - 183.0)
+    aoi_w, aoi_s, aoi_e, aoi_n = AOI
+
+    # forward-project the 4 AOI ring corners, take the UTM envelope
+    env = tm_sql._Chain("SELECT 1 AS one", "kenv")
+    for i, (lon, lat) in enumerate(
+        [(aoi_w, aoi_s), (aoi_e, aoi_s), (aoi_e, aoi_n), (aoi_w, aoi_n)]
+    ):
+        tm_sql.add_fwd(env, _L(lon), _L(lat), lam0, f"k{i}")
+    env.add(
+        {
+            "rx0": "least(k0_e, k1_e, k2_e, k3_e)",
+            "ry0": "least(k0_n, k1_n, k2_n, k3_n)",
+            "rx1": "greatest(k0_e, k1_e, k2_e, k3_e)",
+            "ry1": "greatest(k0_n, k1_n, k2_n, k3_n)",
+        }
+    )
+
+    thr = _L(max_rectangle_size)
+    v = _L(random_variance)
+    factor = f"(2.0e0 * (1.0e0 + (CAST({_hexint_expr('PATHHASH', 12)} AS DOUBLE) / 281474976710656e0 - 0.5e0) * {v} * 2.0e0))"
+    factor = factor.replace("PATHHASH", f"'{salt}/' || path")
+
+    # leaves chain: inverse-project the 4 UTM box corners, lonlat bounds,
+    # region hash
+    leaves = tm_sql._Chain(
+        f"SELECT path, x0, y0, x1, y1 FROM split "
+        f"WHERE greatest(x1 - x0, y1 - y0) <= {thr} OR depth = 250",
+        "kleaf",
+    )
+    for i, (ex, ny) in enumerate(
+        [("x0", "y0"), ("x0", "y1"), ("x1", "y1"), ("x1", "y0")]
+    ):
+        tm_sql.add_inv(leaves, ex, ny, lam0, f"g{i}")
+    leaves.add(
+        {
+            "minx": "least(g0_lon, g1_lon, g2_lon, g3_lon)",
+            "miny": "least(g0_lat, g1_lat, g2_lat, g3_lat)",
+            "maxx": "greatest(g0_lon, g1_lon, g2_lon, g3_lon)",
+            "maxy": "greatest(g0_lat, g1_lat, g2_lat, g3_lat)",
+            "area_km2": "(x1 - x0) * (y1 - y0) / 1000000.0e0",
+        }
+    )
+    tm_sql.add_region_hash(leaves, "minx", "miny", "maxx", "maxy", "tile_id")
+
+    return f"""
+WITH RECURSIVE
+{env.render()},
+split AS (
+  SELECT '' AS path, rx0 AS x0, ry0 AS y0, rx1 AS x1, ry1 AS y1, 0 AS depth
+  FROM {env.last()}
+  UNION ALL
+  SELECT p.path || c.c,
+         CASE WHEN p.h >= p.w THEN p.x0
+              WHEN c.c = 'a' THEN p.x0 ELSE p.xa END,
+         CASE WHEN p.h < p.w THEN p.y0
+              WHEN c.c = 'a' THEN p.y0 ELSE p.ya END,
+         CASE WHEN p.h >= p.w THEN p.x1
+              WHEN c.c = 'a' THEN p.xa ELSE p.x1 END,
+         CASE WHEN p.h < p.w THEN p.y1
+              WHEN c.c = 'a' THEN p.ya ELSE p.y1 END,
+         p.depth + 1
+  FROM (
+    SELECT path, x0, y0, x1, y1, depth,
+           x1 - x0 AS w, y1 - y0 AS h,
+           x0 + (x1 - x0) / {factor} AS xa,
+           y0 + (y1 - y0) / {factor} AS ya
+    FROM split
+    WHERE greatest(x1 - x0, y1 - y0) > {thr} AND depth < 250
+  ) p, (VALUES ('a'), ('b')) c(c)
+),
+{leaves.render()}
+SELECT CAST(row_number() OVER (ORDER BY path) - 1 AS BIGINT) AS row_idx,
+       tile_id,
+       round(minx, 9) AS minx, round(miny, 9) AS miny,
+       round(maxx, 9) AS maxx, round(maxy, 9) AS maxy,
+       round(area_km2, 9) AS area_km2
+FROM {leaves.last()}
+ORDER BY row_idx
+"""

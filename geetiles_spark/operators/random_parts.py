@@ -100,6 +100,98 @@ def split_one_aoi(
     return rows
 
 
+def katana_hashed_boxes(
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    threshold: float,
+    random_variance: float = 0.1,
+    salt: str = "katana",
+) -> list[tuple[str, float, float, float, float]]:
+    """Hash-randomized rectangle katana: the reference's recursive split
+    rule, but the random factor of each node derives from the sha256 of its
+    TREE PATH (``'{salt}/{path}'``, path = 'a'/'b' choices from the root) —
+    no generator state, no float formatting.  That makes the stateful
+    recursion language-neutral: a DuckDB recursive CTE reproduces every
+    leaf bit-for-bit (``oracle_sql.random_partitions_hashed_oracle_sql``),
+    which the seeded-numpy :func:`katana` (PCG64 state in recursion order)
+    cannot offer.  Operates on an axis-aligned UTM box, so every node stays
+    a box (no polygon clipping inside the recursion).
+
+    Returns DFS-ordered ``(path, x0, y0, x1, y1)`` leaves; lexicographic
+    path order == recursion order ('a' < 'b', prefix-free)."""
+    out: list[tuple[str, float, float, float, float]] = []
+
+    def rec(path: str, bx0: float, by0: float, bx1: float, by1: float, depth: int):
+        w = bx1 - bx0
+        h = by1 - by0
+        if max(w, h) <= threshold or depth == 250:
+            out.append((path, bx0, by0, bx1, by1))
+            return
+        import hashlib
+
+        u = int(
+            hashlib.sha256(f"{salt}/{path}".encode()).hexdigest()[:12], 16
+        ) / 2.0 ** 48
+        factor = 2.0 * (1.0 + (u - 0.5) * random_variance * 2.0)
+        if h >= w:
+            ya = by0 + h / factor
+            rec(path + "a", bx0, by0, bx1, ya, depth + 1)
+            rec(path + "b", bx0, ya, bx1, by1, depth + 1)
+        else:
+            xa = bx0 + w / factor
+            rec(path + "a", bx0, by0, xa, by1, depth + 1)
+            rec(path + "b", xa, by0, bx1, by1, depth + 1)
+
+    rec("", x0, y0, x1, y1, 0)
+    return out
+
+
+def make_random_partitions_hashed(
+    spark: SparkSession,
+    aoi_ring: np.ndarray,
+    max_rectangle_size: float,
+    random_variance: float = 0.1,
+    salt: str = "katana",
+) -> DataFrame:
+    """Tiles DataFrame from :func:`katana_hashed_boxes` over the AOI's UTM
+    envelope (row_idx = recursion order).  The fully-oracled twin of
+    :func:`make_random_partitions`."""
+    aoi_ring = geom.ring_close(np.asarray(aoi_ring, dtype=np.float64))
+    env_c = geom.polygon_centroid_of_envelope_ring(aoi_ring)
+    zone = int(utm.utm_zone(np.float64(env_c[0]), np.float64(env_c[1])))
+    south = env_c[1] < 0
+    ex, ny = utm.lonlat_to_utm(aoi_ring[:, 0], aoi_ring[:, 1], zone, south)
+    leaves = katana_hashed_boxes(
+        float(ex.min()), float(ny.min()), float(ex.max()), float(ny.max()),
+        max_rectangle_size, random_variance, salt,
+    )
+    rows = []
+    for i, (_path, bx0, by0, bx1, by1) in enumerate(leaves):
+        ring_utm = geom.box_ring(bx0, by0, bx1, by1)
+        lon, lat = utm.utm_to_lonlat(ring_utm[:, 0], ring_utm[:, 1], zone, south)
+        gx0, gy0, gx1, gy1 = (
+            float(lon.min()), float(lat.min()), float(lon.max()), float(lat.max())
+        )
+        rows.append(
+            {
+                "row_idx": i,
+                "tile_id": hashing.region_hash_from_bounds(gx0, gy0, gx1, gy1),
+                "geometry_wkb": geom.polygon_to_wkb(np.stack([lon, lat], axis=1)),
+                "minx": gx0,
+                "miny": gy0,
+                "maxx": gx1,
+                "maxy": gy1,
+                "area_km2": (bx1 - bx0) * (by1 - by0) / 1e6,
+            }
+        )
+    schema = T.StructType(
+        TILE_SCHEMA.fields + [T.StructField("area_km2", T.DoubleType())]
+    )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+
 def make_random_partitions(
     spark: SparkSession,
     aoi_ring: np.ndarray,

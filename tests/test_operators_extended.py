@@ -798,3 +798,21 @@ class TestAudio:
         assert a1 == a2 and len(a1) == tiles_box.count()
         wave = np.frombuffer(next(iter(a1.values())), dtype="<i2")
         assert len(wave) == 1600 and wave.min() >= -32768
+
+
+class TestHashedKatana:
+    def test_leaves_partition_envelope(self, spark):
+        """Hash-randomized katana: leaves tile the UTM envelope exactly
+        (area additivity, no overlaps along the split tree), every leaf
+        respects the threshold, and the result is reproducible."""
+        from geetiles_spark.operators.random_parts import katana_hashed_boxes
+
+        leaves = katana_hashed_boxes(0.0, 0.0, 60000.0, 40000.0, 5000.0)
+        total = sum((x1 - x0) * (y1 - y0) for _, x0, y0, x1, y1 in leaves)
+        assert abs(total - 60000.0 * 40000.0) < 1e-3
+        for _, x0, y0, x1, y1 in leaves:
+            assert max(x1 - x0, y1 - y0) <= 5000.0 + 1e-9
+        assert leaves == katana_hashed_boxes(0.0, 0.0, 60000.0, 40000.0, 5000.0)
+        # DFS order == lexicographic path order
+        paths = [p for p, *_ in leaves]
+        assert paths == sorted(paths)
