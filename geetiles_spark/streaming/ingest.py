@@ -230,3 +230,47 @@ def stream_media_refs(
     # AvailableNow may run several micro-batches (maxFilesPerTrigger) and
     # lastProgress is the final — often empty — one; total over the run
     return int(sum(p["numInputRows"] for p in q.recentProgress))
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    docs_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Streaming exact deduplication of the docs table: first-seen doc per
+    content hash survives, across ALL micro-batches and restarts — the
+    streaming twin of ``operators.dedup.exact_duplicates``'s keep-first rule.
+
+    ``dropDuplicates`` on the content hash keeps state in the state store
+    (checkpointed), so a document whose duplicate arrived in an EARLIER
+    trigger (or an earlier run against the same checkpoint) is suppressed —
+    exactly-once emission per distinct text.  State is one hash per distinct
+    document; for bounded-state production use
+    ``dropDuplicatesWithinWatermark`` keyed on an event-time column.
+    Returns rows APPENDED this pass.
+    """
+    from ..sources.docs import DOC_SCHEMA  # noqa: F401 (schema doc)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 64)
+        .parquet(docs_dir)
+    )
+    deduped = (
+        stream.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .dropDuplicates(["content_hash"])
+        .select("doc_id", "content_hash", "n_chars")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return int(sum(p["numInputRows"] for p in q.recentProgress))

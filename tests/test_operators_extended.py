@@ -816,3 +816,41 @@ class TestHashedKatana:
         # DFS order == lexicographic path order
         paths = [p for p, *_ in leaves]
         assert paths == sorted(paths)
+
+
+class TestStreamingDedup:
+    def test_first_seen_survives_across_batches_and_restarts(self, spark, tmp_path):
+        """Streaming exact dedup: one row per distinct text across
+        micro-batches AND across a checkpointed restart with new files —
+        matches the batch keep-first rule on the union of all data."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.streaming import ingest
+
+        docs_dir = tmp_path / "docs"
+        docs_dir.mkdir()
+        sink = str(tmp_path / "dsink")
+        ckpt = str(tmp_path / "dckpt")
+
+        def write(name, rows):
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+            ).coalesce(1).write.parquet(str(docs_dir / name))
+
+        write("f1", [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4),
+                     (3, "alpha", "en", "s", 5)])
+        n1 = ingest.stream_dedup_exact(spark, str(docs_dir) + "/*", sink, ckpt)
+        assert n1 == 3
+        got1 = spark.read.parquet(sink)
+        assert got1.count() == 2  # alpha kept once
+        # restart with a new file: duplicate of batch-1 content suppressed
+        write("f2", [(4, "alpha", "en", "s", 5), (5, "gamma", "en", "s", 5)])
+        ingest.stream_dedup_exact(spark, str(docs_dir) + "/*", sink, ckpt)
+        got2 = spark.read.parquet(sink)
+        assert got2.count() == 3  # only gamma appended
+        texts = {r["content_hash"] for r in got2.collect()}
+        exp = {r["h"] for r in spark.createDataFrame(
+            pd.DataFrame({"t": ["alpha", "beta", "gamma"]})
+        ).select(F.sha2("t", 256).alias("h")).collect()}
+        assert texts == exp
