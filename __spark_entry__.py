@@ -792,6 +792,39 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components over the minhash-LSH
+    candidate pairs (min-doc-id canonical labels), per-doc keep/drop flag.
+    The DuckDB twin computes the same components by recursive-CTE transitive
+    closure over the same SQL-generated edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, shingle_n=5, num_hashes=8, bands=4)
+    return dedup.dedup_components(docs, pairs).orderBy("doc_id")
+
+
+def _dedup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({_dedup_lsh_sql()}) p),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INTEGER) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1205,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "text_quality": _q_text_quality,
@@ -1258,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": _dedup_lsh_sql(),
+        "dedup_components": _dedup_components_sql(),
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "text_quality": _TEXT_QUALITY_SQL,

@@ -854,3 +854,26 @@ class TestStreamingDedup:
             pd.DataFrame({"t": ["alpha", "beta", "gamma"]})
         ).select(F.sha2("t", 256).alias("h")).collect()}
         assert texts == exp
+
+
+class TestConnectedComponents:
+    def test_chain_triangle_isolated(self, spark):
+        """Min-label propagation: a 4-chain (diameter 3, needs >1 round), a
+        triangle, and an unpaired doc resolve to the min-id canonical."""
+        pairs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_a": [10, 11, 12, 20, 20, 21], "doc_b": [11, 12, 13, 21, 22, 22]}
+            )
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 22: 20}
+        docs = spark.createDataFrame(pd.DataFrame({"doc_id": [10, 11, 12, 13, 20, 21, 22, 99]}))
+        out = {
+            (r["doc_id"], r["component"], r["is_canonical"])
+            for r in dedup.dedup_components(docs, pairs).collect()
+        }
+        assert (99, 99, 1) in out and (13, 10, 0) in out and (10, 10, 1) in out
+        assert sum(c for _, _, c in out) == 3  # one keeper per cluster + isolated
