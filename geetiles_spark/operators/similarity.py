@@ -442,3 +442,48 @@ def lsh_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index: vectors written partitionBy(cluster), so a
+    probe reads ONLY its nprobe directories (partition pruning at scan
+    time — the 100-TB path: scan fraction = nprobe / n_clusters with zero
+    shuffle at query time).  Returns the centroid matrix (caller persists it
+    next to the index; it is the only query-time driver state)."""
+    C = ivf_centroids(embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    (
+        embeddings.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    return C
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a written IVF index: the cluster filter is a partition
+    predicate (shows as PartitionFilters in the scan — pinned by test), so
+    non-probed clusters are never read."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    C = np.asarray(centroids)
+    probe = [int(c) for c in np.argsort(-(C @ qn))[: min(nprobe, len(C))]]
+    cand = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -877,3 +877,26 @@ class TestConnectedComponents:
         }
         assert (99, 99, 1) in out and (13, 10, 0) in out and (10, 10, 1) in out
         assert sum(c for _, _, c in out) == 3  # one keeper per cluster + isolated
+
+
+class TestIVFIndex:
+    def test_partition_pruned_probe(self, spark, tmp_path):
+        """The written IVF index prunes non-probed clusters at SCAN time
+        (PartitionFilters carry the cluster predicate), and full-probe
+        results equal brute top-k."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        path = str(tmp_path / "ivf")
+        C = similarity.ivf_write_index(emb, path, n_clusters=8)
+        out = similarity.ivf_query_index(spark, path, C, q, k=10, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        frag = plan.split("PartitionFilters")[1][:120]
+        assert "cluster" in frag  # pruning predicate reached the scan
+        # full probe == brute
+        full = similarity.ivf_query_index(spark, path, C, q, k=10, nprobe=8)
+        brute = [(r["rank"], r["vec_id"]) for r in similarity.cosine_topk(emb, q, 10).collect()]
+        assert [(r["rank"], r["vec_id"]) for r in full.collect()] == brute
+        # partial probe scanned a strict subset of files
+        import glob
+        assert len(glob.glob(path + "/cluster=*")) == 8
