@@ -780,6 +780,70 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composed user story of the text +
+    dedup operators: quality gate (alpha_ratio >= 0.5), language filter
+    (en), exact-dedup keep-first, then a per-source rollup of kept docs and
+    token mass.  Every stage is the already-oracled operator; the SQL twin
+    recomputes the whole composition."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_scores(docs).select("doc_id", "alpha_ratio")
+    l = text.language_id(docs).select("doc_id", "lang_pred")
+    t = text.token_counts(docs).select("doc_id", "ws_tokens")
+    keepers = dedup.exact_duplicates(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(t, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .filter((F.col("alpha_ratio") >= 0.5) & (F.col("lang_pred") == "en"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.sum("alpha_ratio"), 6).alias("sum_alpha"),
+        )
+        .orderBy("source")
+    )
+
+
+_CORPUS_CURATION_SQL = """
+WITH s AS (
+  SELECT doc_id, source, text,
+    len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS en,
+    len(list_filter(string_split(text,' '), x -> x IN ('el','la','de'))) AS es,
+    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et'))) AS fr,
+    len(list_filter(string_split(text,' '), x -> x IN ('der','die','und'))) AS de
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 6) AS alpha_ratio,
+    len(string_split(text, ' ')) AS ws_tokens,
+    CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+         WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+         WHEN fr >= de AND fr > 0 THEN 'fr'
+         WHEN de > 0 THEN 'de'
+         ELSE 'und' END AS lang_pred,
+    md5(text) AS content_hash
+  FROM s
+),
+keepers AS (SELECT content_hash, min(doc_id) AS keeper FROM m GROUP BY 1)
+SELECT source,
+       count(*) AS kept_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+       round(sum(alpha_ratio), 6) AS sum_alpha
+FROM m JOIN keepers ON m.content_hash = keepers.content_hash AND m.doc_id = keepers.keeper
+WHERE alpha_ratio >= 0.5 AND lang_pred = 'en'
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1244,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
+        "corpus_curation": _q_corpus_curation,
         "doc_fingerprints": _q_fingerprints,
         # similarity
         "embedding_topk": _q_embedding_topk,
@@ -1298,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
+        "corpus_curation": _CORPUS_CURATION_SQL,
         "doc_fingerprints": _FINGERPRINTS_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
         "embedding_ivf_topk": _EMB_TOPK_SQL,
