@@ -560,18 +560,17 @@ def points_in_polygon(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return (crossings % 2).astype(bool)
 
 
-def _segments_intersect_boxes(
+def _segment_box_hit_matrix(
     ring: np.ndarray,
     minx: np.ndarray,
     miny: np.ndarray,
     maxx: np.ndarray,
     maxy: np.ndarray,
 ) -> np.ndarray:
-    """For each box i, does any ring segment intersect the box boundary/area?
+    """(N boxes, E segments) bool matrix: segment e intersects box i.
 
-    Vectorized over boxes (N) x segments (E) via Liang-Barsky-style clipping
-    of each segment against each box.
-    """
+    Vectorized via Liang-Barsky-style clipping of each segment against each
+    box."""
     x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
     x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
     dx = x2 - x1
@@ -598,7 +597,70 @@ def _segments_intersect_boxes(
             # p == 0 and q < 0 => parallel and outside
             t0 = np.where((p == 0) & (q < 0), np.inf, t0)
         hit = t0 <= t1
-    return hit.any(axis=1)
+    return hit
+
+
+def _segments_intersect_boxes(
+    ring: np.ndarray,
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+) -> np.ndarray:
+    """For each box i, does any ring segment intersect the box?"""
+    return _segment_box_hit_matrix(ring, minx, miny, maxx, maxy).any(axis=1)
+
+
+def clip_areas_ring_boxes_exact(
+    ring: np.ndarray,
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+) -> np.ndarray:
+    """|ring ∩ box_i| with GEOS-parity exactness for CONCAVE rings.
+
+    The masked Sutherland–Hodgman batch (:func:`clip_areas_ring_boxes`) is
+    exact for convex subjects and for concave subjects whose intersection
+    with the box is CONNECTED; a box the boundary crosses more than twice
+    can see a disconnected intersection, where S-H's bridged output ring
+    mis-measures (found by the round-3 hypothesis property suite).  Guard:
+    count boundary crossings per box (one vectorized matrix reusing the
+    Liang-Barsky kernel) and recompute ONLY suspicious boxes as
+    ``Σ_tri |tri ∩ box|`` over the ear triangulation (convex∩convex, exact
+    by additivity).  Suspicious boxes are rare for tile-scale boxes against
+    admin geometries (an isthmus/fjord narrower than a tile), so the hot
+    path stays the single batched kernel."""
+    areas = clip_areas_ring_boxes(ring, minx, miny, maxx, maxy)
+    if ring_is_convex(ring):
+        return areas
+    r = ring_close(np.asarray(ring, dtype=np.float64))
+    hits = _segment_box_hit_matrix(r, minx, miny, maxx, maxy)
+    # a segment with BOTH endpoints inside the box is not a boundary
+    # crossing (a small geometry inside a big tile box has many such
+    # segments and a trivially connected intersection)
+    mnx, mny = minx[:, None], miny[:, None]
+    mxx, mxy = maxx[:, None], maxy[:, None]
+    x1, y1 = r[:-1, 0][None, :], r[:-1, 1][None, :]
+    x2, y2 = r[1:, 0][None, :], r[1:, 1][None, :]
+    p1_in = (x1 >= mnx) & (x1 <= mxx) & (y1 >= mny) & (y1 <= mxy)
+    p2_in = (x2 >= mnx) & (x2 <= mxx) & (y2 >= mny) & (y2 <= mxy)
+    crossings = (hits & ~(p1_in & p2_in)).sum(axis=1)
+    suspicious = np.nonzero(crossings > 2)[0]
+    if len(suspicious) == 0:
+        return areas
+    tris = triangulate_ring(ring)
+    tb = np.array([ring_bounds(t) for t in tris])
+    for i in suspicious:
+        a = 0.0
+        for t, (u0, v0, u1, v1) in zip(tris, tb):
+            if u1 < minx[i] or u0 > maxx[i] or v1 < miny[i] or v0 > maxy[i]:
+                continue
+            a += intersection_area_convex(
+                t, box_ring(minx[i], miny[i], maxx[i], maxy[i])
+            )
+        areas[i] = a
+    return areas
 
 
 def boxes_intersect_polygon(

@@ -91,7 +91,9 @@ def _area_matrix(fset: list[dict], bx0, by0, bx1, by1) -> np.ndarray:
         cand = ~((bx1 < fx0) | (bx0 > fx1) | (by1 < fy0) | (by0 > fy1))
         if cand.any():
             idx = np.nonzero(cand)[0]
-            areas[fi, idx] = geom.clip_areas_ring_boxes(
+            # _exact: concave foreign shapes get the disconnection-guarded
+            # kernel (GEOS-parity areas; convex rings take the pure fast path)
+            areas[fi, idx] = geom.clip_areas_ring_boxes_exact(
                 f["ring"], bx0[idx], by0[idx], bx1[idx], by1[idx]
             )
     return areas
@@ -350,7 +352,7 @@ def spatial_pairs_cell_join(
                 if ring is None:
                     ring = geom.wkb_to_polygon(bytes(pdf["foreign_wkb"].iloc[idx[0]]))
                     ring_cache[fid] = ring
-                areas[idx] = geom.clip_areas_ring_boxes(
+                areas[idx] = geom.clip_areas_ring_boxes_exact(
                     ring, bx0[idx], by0[idx], bx1[idx], by1[idx]
                 )
             keep = areas > 0

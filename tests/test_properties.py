@@ -155,3 +155,23 @@ class TestKatanaProperties:
         for p in parts:
             x0, y0, x1, y1 = geom.ring_bounds(p)
             assert max(x1 - x0, y1 - y0) <= threshold + 1e-6
+
+
+class TestClipAreasExactness:
+    @settings(max_examples=50, deadline=None)
+    @given(star_polygons(), st.lists(boxes, min_size=1, max_size=6))
+    def test_guarded_batch_matches_triangulated_truth(self, ring, bs):
+        """clip_areas_ring_boxes_exact == Σ_tri |tri ∩ box| (convex∩convex
+        ground truth) for concave subjects — including boxes whose
+        intersection with the ring is disconnected (the S-H failure mode
+        the crossing-count guard routes to the exact path)."""
+        minx = np.array([geom.ring_bounds(b)[0] for b in bs])
+        miny = np.array([geom.ring_bounds(b)[1] for b in bs])
+        maxx = np.array([geom.ring_bounds(b)[2] for b in bs])
+        maxy = np.array([geom.ring_bounds(b)[3] for b in bs])
+        got = geom.clip_areas_ring_boxes_exact(ring, minx, miny, maxx, maxy)
+        tris = geom.triangulate_ring(ring)
+        scale = max(1.0, geom.ring_area(ring))
+        for i, b in enumerate(bs):
+            truth = sum(geom.intersection_area_convex(t, b) for t in tris)
+            assert abs(got[i] - truth) < 1e-7 * scale
