@@ -900,3 +900,25 @@ class TestIVFIndex:
         # partial probe scanned a strict subset of files
         import glob
         assert len(glob.glob(path + "/cluster=*")) == 8
+
+
+class TestEmptyInputs:
+    """Operators must run (returning empty results, not crashing) on empty
+    inputs — resumable pipelines hit empty deltas constantly."""
+
+    def test_dedup_similarity_text_empty(self, spark):
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        assert dedup.exact_duplicates(docs).count() == 0
+        assert dedup.ngram_jaccard_pairs(docs).count() == 0
+        assert dedup.lsh_candidate_pairs(docs).count() == 0
+        from geetiles_spark.operators import text as textop
+
+        assert textop.quality_scores(docs).count() == 0
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+        assert similarity.cosine_pairs(emb, 0.5).count() == 0
+        assert similarity.lsh_cosine_pairs(emb, 0.5, dim=64).count() == 0
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert dedup.connected_components(pairs).count() == 0
+        assert dedup.dedup_components(docs, pairs).count() == 0
