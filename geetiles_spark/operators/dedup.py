@@ -211,6 +211,8 @@ def simhash_hamming_pairs(
     max_dist: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_bucket_size: int = 1024,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_dist, recall 1.
 
@@ -225,6 +227,13 @@ def simhash_hamming_pairs(
     pure filter, no ``distinct`` shuffle.  The brute-force all-pairs scan is
     the DuckDB oracle (contract query ``simhash_hamming_pairs``) and the
     cross-test in tests/.
+
+    Skew hardening, same exact hot/salt split as
+    :func:`ngram_jaccard_pairs`: (seg, segv) buckets holding more than
+    ``hot_bucket_size`` docs (boilerplate-heavy corpora collapse many docs
+    onto popular segment values) route to a salted join — side a bucketed
+    by ``hash(doc) % n_salts``, side b replicated per salt — bounding the
+    largest task at ~D^2/n_salts while every pair still meets exactly once.
     """
     sig = simhash_signatures(docs, id_col, text_col)
     segs = simhash_segments(max_dist)
@@ -243,12 +252,39 @@ def simhash_hamming_pairs(
             )
         ).alias("sv"),
     ).select("doc_id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segv").alias("segv"))
-    a = seg_rows.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "seg", "segv"
+    seg_rows = cache.track(seg_rows)
+    hot = cache.track(
+        seg_rows.groupBy("seg", "segv")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > hot_bucket_size)
+        .select("seg", "segv")
     )
-    b = seg_rows.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "seg", "segv"
+    cold = seg_rows.join(F.broadcast(hot), ["seg", "segv"], "left_anti")
+    hot_rows = seg_rows.join(F.broadcast(hot), ["seg", "segv"], "left_semi")
+
+    def sides(rows, extra_cols=()):
+        a_ = rows.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
+            "seg", "segv", *extra_cols,
+        )
+        b_ = rows.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"),
+            "seg", "segv", *extra_cols,
+        )
+        return a_, b_
+
+    a_cold, b_cold = sides(cold)
+    cand_cold = a_cold.join(b_cold, ["seg", "segv"])
+    ha = hot_rows.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
     )
+    hb = hot_rows.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    a_hot, _ = sides(ha, ("salt",))
+    _, b_hot = sides(hb, ("salt",))
+    cand_hot = a_hot.join(b_hot, ["seg", "segv", "salt"]).drop("salt")
+    cand = cand_cold.unionByName(cand_hot)
     ham = sum(
         F.when(
             F.substring("sa", j + 1, 1) != F.substring("sb", j + 1, 1), 1
@@ -266,8 +302,7 @@ def simhash_hamming_pairs(
         ]
     )
     return (
-        a.join(b, ["seg", "segv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("seg") == first_match)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_dist)

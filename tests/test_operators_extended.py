@@ -922,3 +922,24 @@ class TestEmptyInputs:
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         assert dedup.connected_components(pairs).count() == 0
         assert dedup.dedup_components(docs, pairs).count() == 0
+
+
+class TestSimhashSkew:
+    def test_hot_segment_salted_exact(self, spark):
+        """A corpus where one segment value is shared by most docs: the
+        salted hot path must return exactly the plain join's pairs."""
+        # near-identical docs -> identical simhash segments (hot buckets)
+        rows = [(i, f"the quick brown fox jumps w{i}") for i in range(120)]
+        rows += [(200 + i, f"c{i}a c{i}b c{i}c c{i}d unique words here") for i in range(30)]
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        plain = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.simhash_hamming_pairs(docs, hot_bucket_size=10**9).collect()
+        }
+        salted = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedup.simhash_hamming_pairs(
+                docs, hot_bucket_size=16, n_salts=8
+            ).collect()
+        }
+        assert plain and salted == plain
