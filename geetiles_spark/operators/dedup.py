@@ -115,52 +115,88 @@ def lsh_candidate_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_bucket_size: int = 1024,
+    n_salts: int = 16,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band signature.
 
     rows_per_band = num_hashes // bands.  Output (doc_a, doc_b), doc_a <
-    doc_b, distinct.  The pair join shuffles on (band, band_sig) — uniform
-    buckets, broadcast-free, scales linearly in candidate count.
+    doc_b, one row per pair.  The pair join shuffles on (band, band_sig);
+    cross-band duplicates are cut by the report-once rule (a pair survives
+    only at the FIRST band where the two signature arrays agree — each side
+    carries its per-band sig array), replacing the former terminal
+    ``distinct()``, which at candidate scale was the dominant shuffle.
+    Hot (band, band_sig) buckets — giant exact-dup clusters — route to the
+    same exact salted join as :func:`ngram_jaccard_pairs`.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(char_shingles(docs, shingle_n, id_col, text_col), num_hashes)
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
+    # "|" separator: numeric minhashes concatenated bare would alias
+    # (12|345 vs 123|45)
+    band_expr = F.array(
+        *[
+            F.concat_ws(
+                "|",
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # "|" separator: numeric minhashes concatenated bare
-                        # would alias (12|345 vs 123|45)
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_sig"),
-                    )
-                    for b in range(bands)
-                ]
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.band_sig")
+            for b in range(bands)
+        ]
+    )
     # persist: the self-join would otherwise recompute the full shingle ->
     # minhash pipeline (the expensive md5 pass) once per side; scoped via
     # cache.track so command/query boundaries unpersist it
-    band_rows = cache.track(band_rows)
-    a = band_rows.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_sig"
+    band_rows = cache.track(
+        sig.select("doc_id", band_expr.alias("band_sigs"))
+        .select(
+            "doc_id", "band_sigs",
+            F.posexplode("band_sigs").alias("band", "band_sig"),
+        )
     )
-    b = band_rows.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_sig"
+    hot = cache.track(
+        band_rows.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > hot_bucket_size)
+        .select("band", "band_sig")
+    )
+    cold = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+    hot_rows = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_semi")
+
+    def sides(rows, extra=()):
+        a_ = rows.select(
+            F.col("doc_id").alias("doc_a"), F.col("band_sigs").alias("sigs_a"),
+            "band", "band_sig", *extra,
+        )
+        b_ = rows.select(
+            F.col("doc_id").alias("doc_b"), F.col("band_sigs").alias("sigs_b"),
+            "band", "band_sig", *extra,
+        )
+        return a_, b_
+
+    a_cold, b_cold = sides(cold)
+    cand_cold = a_cold.join(b_cold, ["band", "band_sig"])
+    ha = hot_rows.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+    )
+    hb = hot_rows.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    a_hot, _ = sides(ha, ("salt",))
+    _, b_hot = sides(hb, ("salt",))
+    cand_hot = a_hot.join(b_hot, ["band", "band_sig", "salt"]).drop("salt")
+    first_match = F.coalesce(
+        *[
+            F.when(F.col("sigs_a")[b] == F.col("sigs_b")[b], F.lit(b))
+            for b in range(bands)
+        ]
     )
     return (
-        a.join(b, on=["band", "band_sig"])
+        cand_cold.unionByName(cand_hot)
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("band") == first_match)
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
