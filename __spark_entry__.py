@@ -780,6 +780,34 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~20% of every source stratum), rolled up
+    per stratum — the SQL twin applies the literally identical md5-prefix
+    predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = text.stratified_sample(docs, 0.2, seed=7)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT source, n_chars,
+    (""" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('7/' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ) + """) % 1000000 AS hv
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM h WHERE hv < 200000
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the composed user story of the text +
     dedup operators: quality gate (alpha_ratio >= 0.5), language filter
@@ -1309,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "corpus_curation": _q_corpus_curation,
+        "stratified_sample": _q_stratified_sample,
         "doc_fingerprints": _q_fingerprints,
         # similarity
         "embedding_topk": _q_embedding_topk,
@@ -1364,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "doc_fingerprints": _FINGERPRINTS_SQL,
         "embedding_topk": _EMB_TOPK_SQL,
         "embedding_ivf_topk": _EMB_TOPK_SQL,

@@ -87,3 +87,28 @@ def fingerprints(
         F.array_min(sh).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a doc iff
+    ``int(md5('{seed}/{id}')[:15], 16) mod 1e6 < fraction * 1e6`` —
+    partition-independent, reproducible across engines (the SQL twin applies
+    the literally identical predicate; Spark's xxhash64 has no DuckDB
+    counterpart), and ~``fraction`` of every stratum without a shuffle
+    (contrast ``df.sample``: seed-stable only for a fixed partitioning).
+    The digest keyspace is uniform, so per-stratum rates concentrate around
+    ``fraction`` by Chernoff — the standard web-scale sampling shape.
+    ``stratum_col`` documents intent (rates hold per stratum by hash
+    uniformity); the predicate itself is stratum-agnostic."""
+    thresh = int(fraction * 1_000_000)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("/", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    return docs.filter(F.pmod(h, F.lit(1_000_000)) < F.lit(thresh))

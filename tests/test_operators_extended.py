@@ -943,3 +943,17 @@ class TestSimhashSkew:
             ).collect()
         }
         assert plain and salted == plain
+
+
+class TestStratifiedSample:
+    def test_rate_determinism_and_partition_independence(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        s1 = {r["doc_id"] for r in textop.stratified_sample(docs, 0.2, seed=7).collect()}
+        s2 = {r["doc_id"] for r in textop.stratified_sample(docs.repartition(13), 0.2, seed=7).collect()}
+        assert s1 == s2  # partition-independent
+        n = docs.count()
+        assert 0.15 * n <= len(s1) <= 0.25 * n  # ~fraction
+        s3 = {r["doc_id"] for r in textop.stratified_sample(docs, 0.2, seed=8).collect()}
+        assert s3 != s1  # seed changes the sample
