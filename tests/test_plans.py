@@ -58,3 +58,13 @@ class TestPlanShapes:
     def test_small_dims_broadcast(self, spark):
         plan = _plan(spark, "q5_local_supplier")
         assert "BroadcastHashJoin" in plan  # nation/region dims
+
+    def test_banded_pair_joins_have_no_distinct(self, spark):
+        """Report-once replaced every terminal distinct() on pair outputs —
+        at candidate scale that distinct is the dominant shuffle."""
+        import re
+
+        for name in ("dedup_minhash_lsh", "simhash_hamming_pairs", "embedding_lsh_pairs"):
+            plan = _plan(spark, name)
+            assert not re.search(r"HashAggregate\(keys=\[doc_a", plan), name
+            assert not re.search(r"HashAggregate\(keys=\[id_a", plan), name
