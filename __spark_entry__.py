@@ -143,6 +143,23 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-broadcast twin (VERDICT r3 #1): polygon rings ship through
+    the cell shuffle join — no driver collect of the polygon relation —
+    checked against the same DuckDB containment oracle as ``pip_join``."""
+    pts = _points(spark, sf_dir)
+    polys = spark.createDataFrame(_boxes_pdf())
+    assigned = joins.point_in_polygon_join(
+        pts, polys, id_col="point_id", lon_col="x", lat_col="y",
+        broadcast_polys=False,
+    )
+    return (
+        assigned.groupBy(F.col("tile_id").cast("int").alias("box_id"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("box_id")
+    )
+
+
 _PIP_SQL = f"""
 WITH pts AS (
   SELECT o_orderkey AS point_id, {_PX} AS x, {_PY} AS y FROM orders
@@ -1351,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_spatial_join_exact": _q_interval_spatial_exact,
         # spatial with SQL twins
         "pip_join": _q_pip_join,
+        "pip_join_cells": _q_pip_join_cells,
         "knn_points": _q_knn,
         "knn_points_cells": _q_knn_cells,
         # geo pipeline (rows-only; oracle-tested in tests/ vs pandas reference)
@@ -1404,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_spatial_join": _INTERVAL_SPATIAL_SQL,
         "interval_spatial_join_exact": _oracle_mod().interval_triangles_oracle_sql(),
         "pip_join": _PIP_SQL,
+        "pip_join_cells": _PIP_SQL,
         "knn_points": _knn_sql(),
         "knn_points_cells": _knn_sql(),
         "geo_grid_tiles": _grid_full_oracle(),

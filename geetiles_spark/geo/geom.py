@@ -645,7 +645,14 @@ def clip_areas_ring_boxes_exact(
     x2, y2 = r[1:, 0][None, :], r[1:, 1][None, :]
     p1_in = (x1 >= mnx) & (x1 <= mxx) & (y1 >= mny) & (y1 <= mxy)
     p2_in = (x2 >= mnx) & (x2 <= mxx) & (y2 >= mny) & (y2 <= mxy)
-    crossings = (hits & ~(p1_in & p2_in)).sum(axis=1)
+    # crossing count per hit segment: 1 when one endpoint is inside, 2 when
+    # BOTH are outside (a pass-through segment enters AND exits — ADVICE r3:
+    # counting it once let a two-pass-through slit evade the guard); both-in
+    # segments cross 0 times.  Over-counting a corner graze is safe — it
+    # only routes the box to the exact triangulation fallback.
+    crossing_seg = hits & ~(p1_in & p2_in)
+    pass_through = hits & ~p1_in & ~p2_in
+    crossings = crossing_seg.sum(axis=1) + pass_through.sum(axis=1)
     suspicious = np.nonzero(crossings > 2)[0]
     if len(suspicious) == 0:
         return areas

@@ -128,6 +128,12 @@ def lsh_candidate_pairs(
     ``distinct()``, which at candidate scale was the dominant shuffle.
     Hot (band, band_sig) buckets — giant exact-dup clusters — route to the
     same exact salted join as :func:`ngram_jaccard_pairs`.
+
+    Skew machinery is pay-as-you-go (VERDICT r3 #2): the hot relation is a
+    map-side-combined agg over the persisted band rows, so checking it is
+    one cheap action; when NO bucket is hot (the common, clean-corpus case)
+    the plan short-circuits to the plain equi-join with no anti/semi/salt
+    stages at all.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(char_shingles(docs, shingle_n, id_col, text_col), num_hashes)
@@ -161,8 +167,6 @@ def lsh_candidate_pairs(
         .filter(F.col("df") > hot_bucket_size)
         .select("band", "band_sig")
     )
-    cold = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
-    hot_rows = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_semi")
 
     def sides(rows, extra=()):
         a_ = rows.select(
@@ -175,17 +179,24 @@ def lsh_candidate_pairs(
         )
         return a_, b_
 
-    a_cold, b_cold = sides(cold)
-    cand_cold = a_cold.join(b_cold, ["band", "band_sig"])
-    ha = hot_rows.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
-    )
-    hb = hot_rows.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    )
-    a_hot, _ = sides(ha, ("salt",))
-    _, b_hot = sides(hb, ("salt",))
-    cand_hot = a_hot.join(b_hot, ["band", "band_sig", "salt"]).drop("salt")
+    if hot.isEmpty():
+        a_all, b_all = sides(band_rows)
+        cand = a_all.join(b_all, ["band", "band_sig"])
+    else:
+        cold = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+        hot_rows = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_semi")
+        a_cold, b_cold = sides(cold)
+        cand_cold = a_cold.join(b_cold, ["band", "band_sig"])
+        ha = hot_rows.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+        )
+        hb = hot_rows.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        a_hot, _ = sides(ha, ("salt",))
+        _, b_hot = sides(hb, ("salt",))
+        cand_hot = a_hot.join(b_hot, ["band", "band_sig", "salt"]).drop("salt")
+        cand = cand_cold.unionByName(cand_hot)
     first_match = F.coalesce(
         *[
             F.when(F.col("sigs_a")[b] == F.col("sigs_b")[b], F.lit(b))
@@ -193,8 +204,7 @@ def lsh_candidate_pairs(
         ]
     )
     return (
-        cand_cold.unionByName(cand_hot)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("band") == first_match)
         .select("doc_a", "doc_b")
     )
@@ -295,9 +305,6 @@ def simhash_hamming_pairs(
         .filter(F.col("df") > hot_bucket_size)
         .select("seg", "segv")
     )
-    cold = seg_rows.join(F.broadcast(hot), ["seg", "segv"], "left_anti")
-    hot_rows = seg_rows.join(F.broadcast(hot), ["seg", "segv"], "left_semi")
-
     def sides(rows, extra_cols=()):
         a_ = rows.select(
             F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"),
@@ -309,18 +316,26 @@ def simhash_hamming_pairs(
         )
         return a_, b_
 
-    a_cold, b_cold = sides(cold)
-    cand_cold = a_cold.join(b_cold, ["seg", "segv"])
-    ha = hot_rows.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
-    )
-    hb = hot_rows.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    )
-    a_hot, _ = sides(ha, ("salt",))
-    _, b_hot = sides(hb, ("salt",))
-    cand_hot = a_hot.join(b_hot, ["seg", "segv", "salt"]).drop("salt")
-    cand = cand_cold.unionByName(cand_hot)
+    # pay-as-you-go skew split (VERDICT r3 #2): one cheap action on the
+    # persisted map-side-combined agg; clean corpora take the plain join
+    if hot.isEmpty():
+        a_all, b_all = sides(seg_rows)
+        cand = a_all.join(b_all, ["seg", "segv"])
+    else:
+        cold = seg_rows.join(F.broadcast(hot), ["seg", "segv"], "left_anti")
+        hot_rows = seg_rows.join(F.broadcast(hot), ["seg", "segv"], "left_semi")
+        a_cold, b_cold = sides(cold)
+        cand_cold = a_cold.join(b_cold, ["seg", "segv"])
+        ha = hot_rows.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+        )
+        hb = hot_rows.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        a_hot, _ = sides(ha, ("salt",))
+        _, b_hot = sides(hb, ("salt",))
+        cand_hot = a_hot.join(b_hot, ["seg", "segv", "salt"]).drop("salt")
+        cand = cand_cold.unionByName(cand_hot)
     ham = sum(
         F.when(
             F.substring("sa", j + 1, 1) != F.substring("sb", j + 1, 1), 1
@@ -398,34 +413,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > hot_doc_freq)
         .select("gram")
     )
-    cold = grams.join(F.broadcast(hot), "gram", "left_anti")
-    cold_pairs = (
-        cold.alias("a")
-        .join(cold.alias("b"), on="gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # pay-as-you-go skew split (VERDICT r3 #2): one cheap action on the
+    # persisted map-side-combined agg; clean corpora take the plain join
+    if hot.isEmpty():
+        all_pairs = (
+            grams.alias("a")
+            .join(grams.alias("b"), on="gram")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
         )
-    )
-    hot_rows = grams.join(F.broadcast(hot), "gram", "left_semi")
-    ha = hot_rows.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
-    )
-    hb = hot_rows.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    )
-    hot_pairs = (
-        ha.alias("a")
-        .join(hb.alias("b"), on=["gram", "salt"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        cold = grams.join(F.broadcast(hot), "gram", "left_anti")
+        cold_pairs = (
+            cold.alias("a")
+            .join(cold.alias("b"), on="gram")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
         )
-    )
-    inter = (
-        cold_pairs.unionByName(hot_pairs)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        hot_rows = grams.join(F.broadcast(hot), "gram", "left_semi")
+        ha = hot_rows.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+        )
+        hb = hot_rows.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        hot_pairs = (
+            ha.alias("a")
+            .join(hb.alias("b"), on=["gram", "salt"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+        all_pairs = cold_pairs.unionByName(hot_pairs)
+    inter = all_pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
@@ -446,6 +472,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs`` — component = the MIN
     node id reachable through the pair graph (deterministic canonical
@@ -458,7 +485,27 @@ def connected_components(
     practice.  The only driver-side cost is one convergence-check action
     per round.  This is the grouping stage a training-data dedup pipeline
     runs AFTER pair generation: components -> keep one canonical doc each.
+
+    ``checkpoint_dir``: when set, rounds truncate lineage through RELIABLE
+    ``checkpoint()`` into that directory (survives executor loss — the
+    production-cluster mode, VERDICT r3 #6); when None, eager
+    ``localCheckpoint`` (executor-local blocks — fine for local mode, lost
+    on executor death).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without convergence
+    (ADVICE r3: silently returning partial labels would mark several docs
+    canonical inside one true cluster) — max_iter bounds the COST of a
+    pathological chain-shaped graph, not the answer's correctness.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = cache.track(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -466,32 +513,30 @@ def connected_components(
         )
     )
     # iterative algorithms MUST truncate lineage per round: without the
-    # eager localCheckpoint each iteration's logical plan wraps the whole
+    # eager checkpoint each iteration's logical plan wraps the whole
     # history and Catalyst re-analysis dominates (measured: 2.1s -> 19.4s
-    # by round 5 with persist-only).  Production: reliable checkpoint dir
-    # instead of localCheckpoint (executor-local blocks).
-    labels = (
+    # by round 5 with persist-only).
+    labels = _ckpt(
         sym.groupBy("src")
         .agg(F.min("dst").alias("nmin"))
         .select(
             F.col("src").alias("node"),
             F.least("src", "nmin").alias("lbl"),
         )
-        .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nl"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -502,6 +547,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter (rounds "
+            "needed = cluster diameter)"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 

@@ -478,14 +478,24 @@ def point_in_polygon_join(
     id_col: str = "point_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    broadcast_polys: bool = True,
 ) -> DataFrame:
     """Assign points to containing polygons: point-cell equi-join against the
     polygons' covering cells, then an exact vectorized point-in-polygon
     refine per (partition, polygon) group.
 
     Output: (point_id, lon, lat, tile_id) — inner join (unmatched points
-    drop).  Polygon rings broadcast (small dim side); at huge polygon
-    cardinality swap the broadcast for a cell shuffle join.
+    drop).  Two physical strategies, result-identical (cross-tested):
+
+    * ``broadcast_polys=True`` (admin-dim-sized polygon sets): rings are
+      collected once and broadcast; the point side never shuffles.
+    * ``broadcast_polys=False`` (the scale path, VERDICT r3 #1): polygon
+      rings ship THROUGH the cell equi-join — the exploded polygon-cells
+      side carries ``geometry_wkb``, the join is a ``shuffle_hash`` on the
+      cell id, and the refine decodes rings per batch with a local cache.
+      No driver collect of the polygon relation anywhere in the plan, so
+      polygon cardinality is unbounded; the cost is one shuffle of the
+      point side on its cell id.
     """
     level = level or choose_level(polys)
     spark = points.sparkSession
@@ -499,6 +509,51 @@ def point_in_polygon_join(
         F.col(lon_col).alias("lon"),
         F.col(lat_col).alias("lat"),
     ).withColumn("cell", pt_cell("lon", "lat"))
+
+    schema = T.StructType(
+        [
+            T.StructField("point_id", points.schema[id_col].dataType),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("tile_id", T.StringType()),
+        ]
+    )
+
+    if not broadcast_polys:
+        gcells = _explode_cells(
+            polys.select(
+                F.col("tile_id").alias("key"),
+                "minx", "miny", "maxx", "maxy", "geometry_wkb",
+            ),
+            level,
+            ["geometry_wkb"],
+        ).select(
+            F.col("key").alias("tile_id"), "cell", "geometry_wkb"
+        )
+        cand = pcells.join(gcells.hint("shuffle_hash"), "cell").select(
+            "point_id", "lon", "lat", "tile_id", "geometry_wkb"
+        )
+
+        def refine_carried(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ring_cache: dict[str, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                pts = np.stack(
+                    [pdf["lon"].to_numpy(), pdf["lat"].to_numpy()], axis=1
+                )
+                for tid, idx in pdf.groupby("tile_id").indices.items():
+                    ring = ring_cache.get(tid)
+                    if ring is None:
+                        ring = geom.wkb_to_polygon(
+                            bytes(pdf["geometry_wkb"].iloc[idx[0]])
+                        )
+                        ring_cache[tid] = ring
+                    keep[idx] = geom.points_in_polygon(pts[idx], ring)
+                yield pdf.loc[keep, ["point_id", "lon", "lat", "tile_id"]]
+
+        return cand.mapInPandas(refine_carried, schema)
 
     gcells = _explode_cells(
         polys.select(F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"),
@@ -515,15 +570,6 @@ def point_in_polygon_join(
         for r in polys.select("tile_id", "geometry_wkb").collect()
     }
     b = spark.sparkContext.broadcast(rings)
-
-    schema = T.StructType(
-        [
-            T.StructField("point_id", points.schema[id_col].dataType),
-            T.StructField("lon", T.DoubleType()),
-            T.StructField("lat", T.DoubleType()),
-            T.StructField("tile_id", T.StringType()),
-        ]
-    )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr = b.value

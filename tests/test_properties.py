@@ -158,6 +158,26 @@ class TestKatanaProperties:
 
 
 class TestClipAreasExactness:
+    def test_two_pass_through_slit_disconnected(self):
+        """ADVICE r3: a box crossed by exactly TWO pass-through segments (a
+        U-polygon's inner notch walls) sees a disconnected intersection; the
+        old guard counted each pass-through once (2 crossings -> not
+        suspicious) and returned the bridged S-H area.  Pass-throughs must
+        count as 2 crossings each."""
+        # U-shape, legs pointing down; inner notch walls at x=1.0 and x=2.0
+        ring = np.array(
+            [
+                [0.5, -1.0], [1.0, -1.0], [1.0, 2.0], [2.0, 2.0],
+                [2.0, -1.0], [2.5, -1.0], [2.5, 3.0], [0.5, 3.0],
+            ]
+        )
+        # box x in [0.9, 2.1], y in [0, 1]: only the two notch walls hit it,
+        # both ends outside -> intersection is two strips, area 0.2
+        got = geom.clip_areas_ring_boxes_exact(
+            ring,
+            np.array([0.9]), np.array([0.0]), np.array([2.1]), np.array([1.0]),
+        )
+        np.testing.assert_allclose(got, [0.2], atol=1e-9)
     @settings(max_examples=50, deadline=None)
     @given(star_polygons(), st.lists(boxes, min_size=1, max_size=6))
     def test_guarded_batch_matches_triangulated_truth(self, ring, bs):
