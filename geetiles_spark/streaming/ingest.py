@@ -91,9 +91,11 @@ def stream_sessionize(
     state buffers every event timestamp the watermark has not yet finalized,
     each batch re-sorts the buffer and re-segments it globally (exactly the
     batch query's sort), and a session is emitted only once it is
-    watermark-FINAL — ``session_end + gap <= watermark`` — at which point no
-    admissible future event (all ``>= watermark``) can extend or merge into
-    it.  Final prefixes leave the buffer; the rest re-arm an event-time
+    watermark-FINAL — ``session_end + gap < watermark``, STRICT (ADVICE r3):
+    segmentation merges an event at exactly ``end + gap`` (the split rule is
+    strict ``>``), and an admissible event carries ``ts >= watermark``, so
+    only strict inequality guarantees no admissible future event can extend
+    or merge into an emitted session.  Final prefixes leave the buffer; the rest re-arm an event-time
     timeout at the earliest non-final ``session_end + gap``.  State size is
     bounded by the watermark horizon per user.  Exactly-once via the
     checkpoint.
@@ -127,7 +129,9 @@ def stream_sessionize(
         the rest with a timeout at the first non-final session's close."""
         sessions = segment(buf)
         n_final = 0
-        while n_final < len(sessions) and sessions[n_final][1] + gap_us <= wm_us:
+        # strict <: an event with ts == end + gap == watermark is admissible
+        # AND would merge (split is strict >) — see docstring (ADVICE r3)
+        while n_final < len(sessions) and sessions[n_final][1] + gap_us < wm_us:
             n_final += 1
         if n_final == len(sessions):
             state.remove()
@@ -248,7 +252,13 @@ def stream_dedup_exact(
     exactly-once emission per distinct text.  State is one hash per distinct
     document; for bounded-state production use
     ``dropDuplicatesWithinWatermark`` keyed on an event-time column.
-    Returns rows APPENDED this pass.
+    Returns rows APPENDED this pass (NOT input rows — ADVICE r3: duplicates
+    dropped in-flight must not count).  The FileSink does not report
+    ``numOutputRows`` (always -1), so the count comes from an ``observe()``
+    metric on the deduped stream — measured where the rows flow to the sink,
+    no extra job.  Note ``recentProgress`` holds the last ~100 progress
+    events, so a single pass with more micro-batches than that
+    under-reports.
     """
     from ..sources.docs import DOC_SCHEMA  # noqa: F401 (schema doc)
 
@@ -263,6 +273,7 @@ def stream_dedup_exact(
         stream.withColumn("content_hash", F.sha2(F.col("text"), 256))
         .dropDuplicates(["content_hash"])
         .select("doc_id", "content_hash", "n_chars")
+        .observe("appended", F.count(F.lit(1)).alias("n"))
     )
     q = (
         deduped.writeStream.format("parquet")
@@ -273,4 +284,67 @@ def stream_dedup_exact(
         .start()
     )
     q.awaitTermination()
-    return int(sum(p["numInputRows"] for p in q.recentProgress))
+    total = 0
+    for p in q.recentProgress:
+        row = (p.get("observedMetrics") or {}).get("appended")
+        if row is not None:
+            total += int(row["n"])
+    return total
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    events_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> int:
+    """BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    an event-time stream — the production form of :func:`stream_dedup_exact`
+    for unbounded runs, where one-hash-per-distinct-doc state would grow
+    forever.
+
+    Semantics trade-off (documented, tested): duplicates arriving WITHIN
+    the watermark horizon of the first occurrence are suppressed; a
+    duplicate arriving after the state for its key expired is re-emitted.
+    That is the right contract for dedup-at-ingest where the upstream
+    at-least-once window (retries, replays) is bounded — exact global dedup
+    over all history belongs to the batch operator
+    (:func:`geetiles_spark.operators.dedup.exact_duplicates`) or the
+    unbounded-state streaming twin.
+
+    Keys default to ``(user_id, event_type, value)`` content identity on
+    the events schema.  Returns rows appended this pass via the same
+    ``observe()`` metric as :func:`stream_dedup_exact`.
+    """
+    keys = key_cols or ["user_id", "event_type", "value"]
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 64)
+        .parquet(events_dir)
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select("event_id", "ts", *keys)
+        .observe("appended", F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    total = 0
+    for p in q.recentProgress:
+        row = (p.get("observedMetrics") or {}).get("appended")
+        if row is not None:
+            total += int(row["n"])
+    return total

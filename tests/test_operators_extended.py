@@ -841,12 +841,16 @@ class TestStreamingDedup:
         write("f1", [(1, "alpha", "en", "s", 5), (2, "beta", "en", "s", 4),
                      (3, "alpha", "en", "s", 5)])
         n1 = ingest.stream_dedup_exact(spark, str(docs_dir) + "/*", sink, ckpt)
-        assert n1 == 3
+        assert n1 == 2  # APPENDED rows (ADVICE r3), not the 3 input rows
         got1 = spark.read.parquet(sink)
         assert got1.count() == 2  # alpha kept once
         # restart with a new file: duplicate of batch-1 content suppressed
+        n2 = ingest.stream_dedup_exact(spark, str(docs_dir) + "/*", sink, ckpt)
+        # second pass before new data: nothing to append
+        assert n2 == 0
         write("f2", [(4, "alpha", "en", "s", 5), (5, "gamma", "en", "s", 5)])
-        ingest.stream_dedup_exact(spark, str(docs_dir) + "/*", sink, ckpt)
+        n3 = ingest.stream_dedup_exact(spark, str(docs_dir) + "/*", sink, ckpt)
+        assert n3 == 1  # only gamma survives the cross-restart state
         got2 = spark.read.parquet(sink)
         assert got2.count() == 3  # only gamma appended
         texts = {r["content_hash"] for r in got2.collect()}
@@ -854,6 +858,54 @@ class TestStreamingDedup:
             pd.DataFrame({"t": ["alpha", "beta", "gamma"]})
         ).select(F.sha2("t", 256).alias("h")).collect()}
         assert texts == exp
+
+    def test_within_watermark_bounded_state(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark semantics: a duplicate inside the
+        watermark horizon is suppressed; once the key's state expires (the
+        watermark passes first_ts + delay) a later duplicate RE-EMITS — the
+        documented bounded-state trade-off."""
+        import pandas as pd
+
+        from geetiles_spark.streaming import ingest
+
+        ev_dir = tmp_path / "ev"
+        ev_dir.mkdir()
+        sink = str(tmp_path / "wsink")
+        ckpt = str(tmp_path / "wckpt")
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+        def write(name, rows):
+            pdf = pd.DataFrame(rows, columns=cols)
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(str(ev_dir / name))
+
+        # pass 1: A, dup-of-A (same key), B -> 2 appended
+        write("f1", [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:01:00", 7, "click", 1.0, "{}"),  # dup of A
+            (3, "2024-01-01 10:05:00", 8, "view", 2.0, "{}"),
+        ])
+        n1 = ingest.stream_dedup_within_watermark(
+            spark, str(ev_dir) + "/*", sink, ckpt, watermark="1 hour"
+        )
+        assert n1 == 2
+        # pass 2: in-horizon dup suppressed, new key C emitted; C's ts
+        # advances the watermark past A's expiry (10:00 + 1h)
+        write("f2", [
+            (4, "2024-01-01 10:02:00", 7, "click", 1.0, "{}"),  # dup, in horizon
+            (5, "2024-01-01 12:30:00", 9, "buy", 3.0, "{}"),
+        ])
+        n2 = ingest.stream_dedup_within_watermark(
+            spark, str(ev_dir) + "/*", sink, ckpt, watermark="1 hour"
+        )
+        assert n2 == 1
+        # pass 3: A's state expired (wm = 11:30 > 11:00) -> dup re-emits
+        write("f3", [(6, "2024-01-01 13:30:00", 7, "click", 1.0, "{}")])
+        n3 = ingest.stream_dedup_within_watermark(
+            spark, str(ev_dir) + "/*", sink, ckpt, watermark="1 hour"
+        )
+        assert n3 == 1
+        assert spark.read.parquet(sink).count() == 4
 
 
 class TestConnectedComponents:
@@ -930,6 +982,105 @@ class TestIVFIndex:
         # partial probe scanned a strict subset of files
         import glob
         assert len(glob.glob(path + "/cluster=*")) == 8
+
+    def test_batch_probe_matches_per_query(self, spark, tmp_path):
+        """ivf_query_index_batch at partial nprobe must equal a loop of
+        single-query probes (same probe rule + tie-break), in ONE
+        partition-pruned scan."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        path = str(tmp_path / "ivf_b")
+        C = similarity.ivf_write_index(emb, path, n_clusters=8)
+        qrows = emb.filter(F.col("vec_id").isin([0, 3, 11])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = {
+            (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+            for r in similarity.ivf_query_index_batch(
+                spark, path, C, qrows, k=5, nprobe=2
+            ).collect()
+        }
+        expect = set()
+        for r in qrows.collect():
+            single = similarity.ivf_query_index(
+                spark, path, C, [float(x) for x in r["query_vec"]], k=5, nprobe=2
+            )
+            for s in single.collect():
+                expect.add((r["query_id"], s["rank"], s["vec_id"], s["cos_sim"]))
+        assert got == expect and len(got) == 15
+
+    def test_ivf_topk_precomputed_centroids(self, spark):
+        """Passing a precomputed centroid matrix must skip the k-means
+        sample collect and give identical results (VERDICT r3 #4)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        C = similarity.ivf_centroids(emb, n_clusters=8)
+        a = [(r["rank"], r["vec_id"]) for r in similarity.ivf_topk(
+            emb, q, k=10, n_clusters=8, nprobe=8).collect()]
+        b = [(r["rank"], r["vec_id"]) for r in similarity.ivf_topk(
+            emb, q, k=10, n_clusters=8, nprobe=8, centroids=C).collect()]
+        assert a == b
+
+    def test_ivf_assign_respects_id_col(self, spark):
+        """ADVICE r3: the output id column must carry the caller's id_col
+        name, not a hardcoded 'vec_id'."""
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .withColumnRenamed("vec_id", "item_id")
+        )
+        C = similarity.ivf_centroids(emb, n_clusters=4, id_col="item_id")
+        out = similarity.ivf_assign(emb, C, id_col="item_id")
+        assert out.columns == ["item_id", "cluster"]
+
+
+class TestCosineTopkBatch:
+    def test_matches_single_query_and_one_scan(self, spark):
+        """Each query's block must equal cosine_topk, and the plan must scan
+        the corpus ONCE for the whole batch (VERDICT r3 #3)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qrows = emb.filter(F.col("vec_id").isin([0, 5, 9])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        df = similarity.cosine_topk_batch(emb, qrows, k=7)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1  # one corpus scan, all queries
+        got = {
+            (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+            for r in df.collect()
+        }
+        expect = set()
+        for r in qrows.collect():
+            for s in similarity.cosine_topk(
+                emb, [float(x) for x in r["query_vec"]], k=7
+            ).collect():
+                expect.add((r["query_id"], s["rank"], s["vec_id"], s["cos_sim"]))
+        assert got == expect and len(got) == 21
+
+    def test_tie_safe_partial_topk(self, spark):
+        """Rounded sims tie; the per-batch cut must keep tied candidates so
+        the global (sim desc, id asc) rule picks the right ids.  Construct a
+        corpus of identical vectors (all sims == 1.0) spread over many
+        partitions: top-k must be the k LOWEST ids."""
+        import pandas as pdl
+
+        pdf = pdl.DataFrame(
+            {
+                "vec_id": np.arange(200, dtype=np.int64),
+                "embedding": [[1.0, 0.0, 0.0]] * 200,
+            }
+        )
+        emb = spark.createDataFrame(pdf).repartition(16)
+        qrows = spark.createDataFrame(
+            pdl.DataFrame({"query_id": [0], "query_vec": [[1.0, 0.0, 0.0]]})
+        )
+        got = [
+            (r["rank"], r["vec_id"])
+            for r in similarity.cosine_topk_batch(emb, qrows, k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)]
 
 
 class TestEmptyInputs:
