@@ -410,6 +410,17 @@ def _q_geo_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tile_id")
 
 
+def _q_s2_cloud_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: the S2 cloud-mask/median/visualize compositing expression
+    (QA60 bits 10/11 -> clear mask -> per-pixel median over clear
+    observations -> /10000 -> visualize[0, 0.3] uint8) over the closed-form
+    synthetic stack — every output byte re-derived by the DuckDB oracle
+    (a wrong bit test, median rule, or clamp breaks the value hash)."""
+    tiles = _fixture_tiles(spark)
+    ch = chipsrc.generate_chips(tiles, "s2cloudmedian-2020")
+    return multimodal.band_stats(ch).orderBy("tile_id", "band")
+
+
 # --------------------------------------------------------------------------
 # relational / TPC-H-flavored
 # --------------------------------------------------------------------------
@@ -1457,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_split_per_partitions": _q_geo_split_per_partitions,
         "geo_group_filter": _q_geo_group_filter,
         "geo_chip_stats": _q_geo_chip_stats,
+        "s2_cloud_median_chips": _q_s2_cloud_median,
         "audio_chip_stats": _q_audio_chip_stats,
         "geo_mosaic_blocks": _q_geo_mosaic,
         "geo_dataset_assembly": _q_geo_assembly,
@@ -1515,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_group_filter": _oracle_mod().group_filter_oracle_sql(500, "b"),
         "geo_random_partitions_hashed": _oracle_mod().random_partitions_hashed_oracle_sql(700),
         "geo_chip_stats": _oracle_mod().chip_stats_pattern_oracle_sql(500),
+        "s2_cloud_median_chips": _oracle_mod().s2_cloud_median_oracle_sql(500),
         "audio_chip_stats": _oracle_mod().audio_stats_pattern_oracle_sql(500),
         "embedding_lsh_pairs": _oracle_mod().lsh_pairs_oracle_sql(
             0.4, dim=64, n_planes=4, n_tables=8

@@ -868,6 +868,71 @@ ORDER BY tile_id
 """
 
 
+def s2_cloud_median_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "s2cloudmedian-2020",
+    height: int = 100,
+    width: int = 100,
+    bands: int = 3,
+    n_images: int = 5,
+) -> str:
+    """F16 oracle: the S2 cloud-mask/median/visualize semantics
+    (``defs/sentinel2rgbmedian2020.py:17-38``) re-derived in SQL over the
+    closed-form stack of :class:`~..sources.datasets.S2CloudMedianDef` —
+    clear observations filtered by the same cloud/cirrus congruences,
+    per-pixel ``median`` (DuckDB interpolates even counts exactly like
+    ``np.nanmedian``), ``floor(m / 10000 / 0.3 * 255)`` clamped to 255,
+    fully-masked pixels 0 via the LEFT JOIN, then per-band exact-integer
+    reductions (sum / min / max / zero count)."""
+    body, kept_last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {kept_last}", "s2seed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    return f"""
+WITH {body},
+{seed.render()},
+clear AS (
+  SELECT tile_id, b.g AS band, x.g AS px, y.g AS py,
+         (seed + 3 * x.g + 7 * y.g + 11 * b.g + 97 * i.g) % 4001 AS raw
+  FROM {seed.last()},
+       generate_series(0, {width - 1}) x(g),
+       generate_series(0, {height - 1}) y(g),
+       generate_series(0, {bands - 1}) b(g),
+       generate_series(0, {n_images - 1}) i(g)
+  WHERE (seed + 13 * x.g + 29 * y.g + 53 * i.g) % 7 <> 0
+    AND (seed + 17 * x.g + 31 * y.g + 59 * i.g) % 11 <> 0
+),
+med AS (
+  SELECT tile_id, band, px, py, median(CAST(raw AS DOUBLE)) AS m
+  FROM clear GROUP BY tile_id, band, px, py
+),
+allpx AS (
+  SELECT tile_id, b.g AS band, x.g AS px, y.g AS py
+  FROM {seed.last()},
+       generate_series(0, {width - 1}) x(g),
+       generate_series(0, {height - 1}) y(g),
+       generate_series(0, {bands - 1}) b(g)
+),
+bytes AS (
+  SELECT a.tile_id, a.band,
+         coalesce(
+           least(255, CAST(floor(m.m / 10000.0e0 / 0.3e0 * 255.0e0) AS BIGINT)),
+           0) AS byte
+  FROM allpx a
+  LEFT JOIN med m
+    ON m.tile_id = a.tile_id AND m.band = a.band
+   AND m.px = a.px AND m.py = a.py
+)
+SELECT tile_id, '{dataset}' AS dataset, CAST(band AS INTEGER) AS band,
+       CAST(sum(byte) AS BIGINT) AS sum_val,
+       CAST(min(byte) AS BIGINT) AS min_val,
+       CAST(max(byte) AS BIGINT) AS max_val,
+       CAST(sum(CASE WHEN byte = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM bytes
+GROUP BY tile_id, band
+ORDER BY tile_id, band
+"""
+
+
 def _hexint_expr(strexpr: str, nchars: int) -> str:
     """Inline SQL expression: int(sha256(strexpr)[:nchars], 16) as BIGINT —
     the non-chain twin of ``tm_sql.add_hex_prefix_int`` for use inside a

@@ -79,6 +79,53 @@ def image_stats(chips: DataFrame, fmt: str = "raw") -> DataFrame:
     return chips.select(*cols).mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
+BAND_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_id", T.StringType()),
+        T.StructField("dataset", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sum_val", T.LongType()),
+        T.StructField("min_val", T.LongType()),
+        T.StructField("max_val", T.LongType()),
+        T.StructField("n_zero", T.LongType()),
+    ]
+)
+
+
+def band_stats(chips: DataFrame, fmt: str = "raw") -> DataFrame:
+    """Per-BAND exact-integer chip statistics (sum / min / max / zero-pixel
+    count) — integer reductions so a SQL oracle can reproduce them without
+    float accumulation-order concerns.  One row per (tile, band)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.status != "ok":
+                    continue
+                arr = _decode(r.payload, fmt, r.dtype, r.height, r.width, r.bands)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                a = arr.astype(np.int64)
+                for b in range(a.shape[2]):
+                    ab = a[:, :, b]
+                    rows.append(
+                        {
+                            "tile_id": r.tile_id,
+                            "dataset": r.dataset,
+                            "band": b,
+                            "sum_val": int(ab.sum()),
+                            "min_val": int(ab.min()),
+                            "max_val": int(ab.max()),
+                            "n_zero": int((ab == 0).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    cols = ["tile_id", "dataset", "payload", "dtype", "height", "width", "bands", "status"]
+    return chips.select(*cols).mapInPandas(run, BAND_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("tile_id", T.StringType()),

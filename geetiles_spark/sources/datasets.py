@@ -251,6 +251,78 @@ class PatternImageDef(DatasetDef):
         return ((s + 3 * px + 7 * py + 11 * b) % 256).astype(np.uint8)
 
 
+def s2_cloud_median_visualize(
+    raw_stack: np.ndarray,
+    qa_stack: np.ndarray,
+    scale: float = 10000.0,
+    vis_max: float = 0.3,
+) -> np.ndarray:
+    """F16 — the reference's GEE server-side compositing expression
+    (``defs/sentinel2rgbmedian2020.py:17-38``) as a local numpy kernel:
+
+    * QA60 bits 10 (cloud) and 11 (cirrus) must BOTH be zero for a clear
+      observation (``qa.bitwiseAnd(mask).eq(0)``);
+    * per pixel per band, the median over the clear observations of the
+      stack (``ImageCollection.median()`` ignores masked pixels);
+    * reflectance = value / ``scale`` (``divide(10000)``);
+    * ``visualize(min=0, max=vis_max)`` -> uint8 via
+      ``min(255, floor(v / vis_max * 255))`` (documented divergence: GEE's
+      exact visualize rounding is unobservable without GEE; floor is the
+      deterministic engine-neutral choice, reproduced by the SQL oracle);
+    * pixels with NO clear observation stay masked in GEE — rendered 0.
+
+    ``raw_stack``: (n_images, H, W, bands) integer reflectance*scale;
+    ``qa_stack``: (n_images, H, W) QA60 words.  Returns (H, W, bands) uint8.
+    """
+    cloud_bit, cirrus_bit = 1 << 10, 1 << 11
+    clear = ((qa_stack & cloud_bit) == 0) & ((qa_stack & cirrus_bit) == 0)
+    vals = np.where(clear[..., None], raw_stack.astype(np.float64), np.nan)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+        med = np.nanmedian(vals, axis=0)  # (H, W, bands)
+    byte = np.minimum(255.0, np.floor(med / scale / vis_max * 255.0))
+    return np.where(np.isnan(med), 0, byte).astype(np.uint8)
+
+
+class S2CloudMedianDef(DatasetDef):
+    """F16 end-to-end over a SQL-expressible synthetic stack: a 5-image
+    time series with closed-form reflectance and QA60 cloud/cirrus bits,
+    fused by :func:`s2_cloud_median_visualize` — the masking/median/
+    visualize semantics the reference delegates to the GEE server, made
+    observable (contract query ``s2_cloud_median_chips`` re-derives every
+    byte in DuckDB).  The GEE FETCH itself remains environment-documented
+    (no earthengine credentials here); this def replaces it with the same
+    deterministic-source pattern as every other synthetic def (S7)."""
+
+    name = "s2cloudmedian-2020"
+    dtype = "uint8"
+    n_images = 5
+    bands = 3
+
+    def synth_stack(self, tile_id: str, height: int, width: int):
+        """(raw (n,H,W,3) int64, qa (n,H,W) uint16) — closed forms:
+        raw = (seed + 3*px + 7*py + 11*b + 97*i) % 4001 (reflectance*1e4);
+        cloud bit iff (seed + 13*px + 29*py + 53*i) % 7 == 0;
+        cirrus bit iff (seed + 17*px + 31*py + 59*i) % 11 == 0."""
+        s = pattern_seed(tile_id, self.name)
+        i = np.arange(self.n_images)[:, None, None, None]
+        py = np.arange(height)[None, :, None, None]
+        px = np.arange(width)[None, None, :, None]
+        b = np.arange(self.bands)[None, None, None, :]
+        raw = (s + 3 * px + 7 * py + 11 * b + 97 * i) % 4001
+        i2, py2, px2 = i[..., 0], py[..., 0], px[..., 0]
+        qa = np.where(
+            (s + 13 * px2 + 29 * py2 + 53 * i2) % 7 == 0, 1 << 10, 0
+        ) | np.where((s + 17 * px2 + 31 * py2 + 59 * i2) % 11 == 0, 1 << 11, 0)
+        return raw.astype(np.int64), qa.astype(np.uint16)
+
+    def synth_chip(self, tile_id: str, height: int = 100, width: int = 100):
+        raw, qa = self.synth_stack(tile_id, height, width)
+        return s2_cloud_median_visualize(raw, qa)
+
+
 _REGISTRY: dict[str, type[DatasetDef]] = {
     EsaWorldCoverDef.name: EsaWorldCoverDef,
     Sentinel2RgbDef.name: Sentinel2RgbDef,
@@ -261,6 +333,7 @@ _REGISTRY: dict[str, type[DatasetDef]] = {
     PatternLabelDef.name: PatternLabelDef,
     PatternImageDef.name: PatternImageDef,
     S1GrdObsDef.name: S1GrdObsDef,
+    S2CloudMedianDef.name: S2CloudMedianDef,
 }
 
 

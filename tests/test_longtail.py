@@ -205,6 +205,39 @@ class TestFunctionWrappers:
 
 
 class TestNewDatasetDefs:
+    def test_s2_cloud_median_kernel(self):
+        """F16 semantics on a hand-built stack: bit-10/11 masking, masked
+        median, /10000 + visualize clamp, all-masked pixel -> 0."""
+        from geetiles_spark.sources.datasets import s2_cloud_median_visualize
+
+        # 3 images, 1x2 px, 1 band
+        raw = np.array(
+            [[[[1000], [4000]]], [[[2000], [4000]]], [[[3000], [4000]]]]
+        )  # (3, 1, 2, 1)
+        qa = np.zeros((3, 1, 2), dtype=np.uint16)
+        qa[1, 0, 0] = 1 << 10       # image 1 cloudy at px0 -> median(1000,3000)=2000
+        qa[:, 0, 1] = 1 << 11       # px1 all cirrus -> fully masked -> 0
+        out = s2_cloud_median_visualize(raw, qa)
+        # v = 2000/10000 = 0.2 -> floor(0.2/0.3*255) = floor(170.0) = 170
+        assert out.shape == (1, 2, 1)
+        assert out[0, 0, 0] == 170 and out[0, 1, 0] == 0
+        # clamp: v = 0.4 > vis_max -> 255
+        raw2 = np.full((1, 1, 1, 1), 4000)
+        qa2 = np.zeros((1, 1, 1), dtype=np.uint16)
+        assert s2_cloud_median_visualize(raw2, qa2)[0, 0, 0] == 255
+        # interpolated even-count median: values 1000, 2000 -> 1500 -> 127
+        raw3 = np.array([[[[1000]]], [[[2000]]]])
+        qa3 = np.zeros((2, 1, 1), dtype=np.uint16)
+        assert s2_cloud_median_visualize(raw3, qa3)[0, 0, 0] == 127
+
+    def test_s2_def_deterministic_and_has_masked_pixels(self):
+        d = get_dataset_definition("s2cloudmedian-2020")
+        a = d.synth_chip("t1", 40, 40)
+        b = d.synth_chip("t1", 40, 40)
+        assert np.array_equal(a, b) and a.dtype == np.uint8
+        raw, qa = d.synth_stack("t1", 40, 40)
+        assert ((qa & (1 << 10)) != 0).any() and ((qa & (1 << 11)) != 0).any()
+
     def test_sar_post_process(self):
         d = get_dataset_definition("s1grd-2020")
         chip = d.synth_chip("abc", 10, 10)
