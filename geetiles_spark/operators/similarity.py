@@ -90,13 +90,23 @@ def cosine_topk_batch(
     finishes globally.  Output (query_id, rank, vec_id, cos_sim), rank
     1..k, ties by id — per query identical to :func:`cosine_topk`.
     """
+    spark = embeddings.sparkSession
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("vec_id", embeddings.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
     rows = queries.select(query_id_col, query_vec_col).collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
     qids = [r[query_id_col] for r in rows]
     Q = np.stack(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
     )
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    spark = embeddings.sparkSession
     b = spark.sparkContext.broadcast((qids, Q))
 
     schema = T.StructType(
@@ -615,6 +625,16 @@ def ivf_query_index_batch(
     """
     C = np.asarray(centroids)
     rows = queries.select(query_id_col, query_vec_col).collect()
+    if not rows:
+        empty = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("rank", T.IntegerType(), False),
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cos_sim", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
     qids = [r[query_id_col] for r in rows]
     Q = np.stack(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]

@@ -1104,6 +1104,25 @@ class TestEmptyInputs:
         assert dedup.connected_components(pairs).count() == 0
         assert dedup.dedup_components(docs, pairs).count() == 0
 
+    def test_batch_and_pip_empty(self, spark):
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+        q_empty = spark.createDataFrame([], "query_id long, query_vec array<float>")
+        assert similarity.cosine_topk_batch(emb, q_empty).count() == 0
+        # empty corpus with real queries
+        qrows = spark.createDataFrame(
+            pd.DataFrame({"query_id": [1], "query_vec": [[1.0, 0.0]]})
+        )
+        assert similarity.cosine_topk_batch(emb, qrows).count() == 0
+        # pip shuffle twin on empty polys / empty points
+        pts = spark.createDataFrame([], "point_id long, lon double, lat double")
+        polys = spark.createDataFrame(
+            [], "tile_id string, geometry_wkb binary, minx double, miny double, "
+                "maxx double, maxy double"
+        )
+        assert joins.point_in_polygon_join(
+            pts, polys, level=6, broadcast_polys=False
+        ).count() == 0
+
 
 class TestPipJoinStrategies:
     def _inputs(self, spark):
