@@ -58,6 +58,26 @@ def char_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col:
     )
 
 
+def char_shingles_flat(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character n-gram shingles WITHOUT per-doc dedup — the minhash feed.
+
+    ``min`` over a multiset equals ``min`` over its support set, so minhash
+    signatures don't need distinct shingles; skipping it lets the whole
+    stage stay in codegen: ``explode(sequence)`` + ``substring(text, i, n)``
+    are code-generated, whereas the higher-order ``transform`` +
+    ``array_distinct`` of :func:`char_shingles` run INTERPRETED per element
+    (Catalyst doesn't codegen lambda functions) — measured 3.3 s -> 1.2 s
+    over 5k docs / 1.5M shingles at sf0.1 despite emitting MORE rows.
+    Use :func:`char_shingles` where set semantics matter (Jaccard counts)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+        ).alias("i"),
+        F.col(text_col).alias("__t"),
+    ).select("doc_id", F.expr(f"substring(__t, i, {n})").alias("shingle"))
+
+
 def minhash_masks(num_hashes: int, seed: int = 0x5EED) -> list[int]:
     """Deterministic 60-bit XOR masks for the minhash family (shared with
     the DuckDB oracle generator)."""
@@ -136,7 +156,9 @@ def lsh_candidate_pairs(
     stages at all.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(char_shingles(docs, shingle_n, id_col, text_col), num_hashes)
+    # flat (non-distinct) shingles: min is idempotent over duplicates and
+    # the flat pipeline stays in whole-stage codegen (see char_shingles_flat)
+    sig = minhash_signatures(char_shingles_flat(docs, shingle_n, id_col, text_col), num_hashes)
     # "|" separator: numeric minhashes concatenated bare would alias
     # (12|345 vs 123|45)
     band_expr = F.array(
