@@ -1005,6 +1005,68 @@ def _q_embedding_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed eval-set decontamination — the pipeline story batch top-k
+    exists for: three eval probes scan the corpus ONCE
+    (``cosine_topk_batch``), any non-self document ranking in a probe's
+    top-20 with cosine >= 0.5 is contamination, and the documents table
+    reports per-source kept/dropped counts.  Brute SQL oracle replays the
+    identical rank + threshold + exclusion rules."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    probes = emb.filter(F.col("vec_id").isin([3, 57, 101])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = similarity.cosine_topk_batch(emb, probes, k=20)
+    contaminated = (
+        hits.filter(
+            (F.col("cos_sim") >= 0.5) & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("dropped", F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+_DECONTAMINATE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qn
+  FROM embeddings WHERE vec_id IN (3, 57, 101)
+), n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, n.vec_id,
+    round(list_dot_product(n.e, q.qe) / (n.nm * q.qn), 6) AS cos_sim
+  FROM n CROSS JOIN q
+), r AS (
+  SELECT query_id, vec_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+), hits AS (
+  SELECT DISTINCT vec_id AS doc_id
+  FROM r WHERE rank <= 20 AND cos_sim >= 0.5e0 AND vec_id <> query_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 _EMB_TOPK_BATCH_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
@@ -1446,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_embedding_ivf_topk,
         "embedding_topk_batch": _q_embedding_topk_batch,
         "embedding_ivf_topk_batch": _q_embedding_ivf_topk_batch,
+        "corpus_decontamination": _q_corpus_decontaminate,
         "embedding_neardup_pairs": _q_embedding_neardup,
         # scalar kernels + additional joins with SQL twins
         "pixel_range_map": _q_range_map,
@@ -1505,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _EMB_TOPK_SQL,
         "embedding_topk_batch": _EMB_TOPK_BATCH_SQL,
         "embedding_ivf_topk_batch": _EMB_TOPK_BATCH_SQL,
+        "corpus_decontamination": _DECONTAMINATE_SQL,
         "embedding_neardup_pairs": _EMB_NEARDUP_SQL,
         "pixel_range_map": _RANGE_MAP_SQL,
         "pixel_value_map": _VALUE_MAP_SQL,
