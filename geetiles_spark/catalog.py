@@ -63,14 +63,42 @@ class Catalog:
     def read(self, spark: SparkSession, name: str, snap: str | None = None) -> DataFrame:
         return spark.read.parquet(self.snapshot_path(name, snap))
 
-    def write(self, df: DataFrame, name: str, meta: dict | None = None) -> str:
-        """Commit ``df`` as a new snapshot of ``name``; returns snapshot id."""
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Commit ``df`` as a new snapshot of ``name``; returns snapshot id.
+
+        ``partition_by``: hive-partition the snapshot files by these columns
+        (Iceberg partition-spec analog) — readers filtering on them get
+        PartitionFilters pruning at scan time (e.g. the IVF ANN index
+        partitions by ``cluster`` so a probe reads nprobe directories)."""
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(tdir, snap))
-        self._commit(name, snap, meta or {})
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(tdir, snap))
+        m = dict(meta or {})
+        if partition_by:
+            m["partition_by"] = partition_by
+        self._commit(name, snap, m)
         return snap
+
+    def commit_meta(self, name: str, snap: str | None = None) -> dict:
+        """The commit-log record of a snapshot (Iceberg table-properties
+        analog) — carries op, parent, and any caller metadata (dataset
+        hashes, ANN centroids, partition spec)."""
+        snap = snap or self.current_snapshot(name)
+        if snap is None:
+            raise FileNotFoundError(f"table {name} has no committed snapshot")
+        p = os.path.join(self._table_dir(name), f"{snap}.commit.json")
+        with open(p) as f:
+            return json.load(f)
 
     def _commit(self, name: str, snap: str, meta: dict) -> None:
         tdir = self._table_dir(name)
@@ -88,16 +116,37 @@ class Catalog:
         os.replace(tmp, self._pointer(name))  # atomic commit
 
     def merge_upsert(
-        self, spark: SparkSession, df: DataFrame, name: str, keys: list[str]
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> str:
         """MERGE-equivalent: rows of ``df`` win on key collision; existing
-        non-colliding rows are kept.  Used for idempotent resume."""
+        non-colliding rows are kept.  Used for idempotent resume.
+
+        ``meta`` merges over the parent commit's caller metadata (so table
+        properties like ANN centroids persist across merges unless
+        explicitly overwritten); ``partition_by`` defaults to the parent
+        snapshot's partition spec."""
         if not self.exists(name):
-            return self.write(df, name, {"op": "create"})
+            m = {"op": "create", **(meta or {})}
+            return self.write(df, name, m, partition_by=partition_by)
+        parent_meta = self.commit_meta(name)
+        carried = {
+            k: v
+            for k, v in parent_meta.items()
+            if k not in ("snapshot", "parent", "ts", "op", "keys", "partition_by")
+        }
+        if partition_by is None:
+            partition_by = parent_meta.get("partition_by")
         cur = self.read(spark, name)
         kept = cur.join(df.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(df)
-        return self.write(merged, name, {"op": "merge", "keys": keys})
+        m = {**carried, "op": "merge", "keys": keys, **(meta or {})}
+        return self.write(merged, name, m, partition_by=partition_by)
 
     # ----------------------------------------------- tiles hash guard ------
 

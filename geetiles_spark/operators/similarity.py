@@ -603,6 +603,85 @@ def ivf_query_index(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_index_commit(
+    spark,
+    catalog,
+    embeddings: DataFrame,
+    table: str = "ann_index",
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Create OR incrementally extend a catalog-committed IVF index — the
+    production ANN maintenance loop over the snapshot catalog.
+
+    First commit: fit the coarse quantizer (seeded spherical k-means on a
+    hash sample), assign every vector, write the (vectors + cluster) table
+    partitioned BY cluster, with the centroid matrix stored in the commit
+    metadata (the Iceberg-table-properties analog — the ONLY query-time
+    driver state).
+
+    Later commits: REUSE the committed centroids — quantizer stability
+    means existing assignments stay valid, so new vectors assign against
+    the same matrix and ``merge_upsert`` on the id (idempotent resume: the
+    same delta twice is a no-op).  No re-clustering, no index rebuild, and
+    every snapshot keeps the cluster partition spec, so probe-time
+    PartitionFilters pruning survives appends.  A per-commit lineage row
+    lands in the metrics table.  Returns the centroid matrix.
+    """
+    if catalog.exists(table):
+        C = ivf_index_centroids(catalog, table)
+    else:
+        C = ivf_centroids(
+            embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    rows = embeddings.join(assigned, id_col)
+    catalog.merge_upsert(
+        spark,
+        rows,
+        table,
+        keys=[id_col],
+        meta={"ann_centroids": np.asarray(C).tolist()},
+        partition_by=["cluster"],
+    )
+    catalog.log_metrics(
+        spark, job=f"ivf_index:{table}", stage="commit",
+        df_out=catalog.read(spark, table),
+    )
+    return np.asarray(C)
+
+
+def ivf_index_centroids(catalog, table: str = "ann_index") -> np.ndarray:
+    """The committed quantizer matrix of a catalog IVF index (stored in the
+    snapshot's commit metadata by :func:`ivf_index_commit`)."""
+    meta = catalog.commit_meta(table)
+    return np.asarray(meta["ann_centroids"], dtype=np.float64)
+
+
+def ivf_query_catalog(
+    spark,
+    catalog,
+    query_vec: list[float],
+    table: str = "ann_index",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against the current snapshot of a catalog-committed IVF index:
+    centroids come from the commit metadata, the cluster predicate prunes
+    partitions at scan time, and time travel falls out of the catalog
+    (pass ``snap`` to ``catalog.read`` for historical probes)."""
+    C = ivf_index_centroids(catalog, table)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = [int(c) for c in np.argsort(-(C @ qn))[: min(nprobe, len(C))]]
+    cand = catalog.read(spark, table).filter(F.col("cluster").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def ivf_query_index_batch(
     spark,
     path: str,

@@ -1021,6 +1021,48 @@ class TestIVFIndex:
             emb, q, k=10, n_clusters=8, nprobe=8, centroids=C).collect()]
         assert a == b
 
+    def test_catalog_incremental_index(self, spark, tmp_path):
+        """The production ANN maintenance loop: create a catalog-committed
+        index, append a delta REUSING the committed quantizer (no rebuild),
+        verify the probe sees old + new vectors (full probe == brute over
+        the union), idempotent re-append, and partition pruning on the
+        snapshot scan."""
+        from geetiles_spark.catalog import Catalog
+
+        cat = Catalog(str(tmp_path / "cat"))
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        first = emb.filter(F.col("vec_id") < 400)
+        delta = emb.filter(F.col("vec_id") >= 400)
+        C1 = similarity.ivf_index_commit(spark, cat, first, n_clusters=8)
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        got1 = [(r["rank"], r["vec_id"]) for r in similarity.ivf_query_catalog(
+            spark, cat, q, k=10, nprobe=8).collect()]
+        brute1 = [(r["rank"], r["vec_id"]) for r in similarity.cosine_topk(
+            first, q, 10).collect()]
+        assert got1 == brute1
+        # incremental append: same centroids, merge on id
+        C2 = similarity.ivf_index_commit(spark, cat, delta, n_clusters=8)
+        assert np.array_equal(C1, C2)  # quantizer stability across appends
+        got2 = [(r["rank"], r["vec_id"]) for r in similarity.ivf_query_catalog(
+            spark, cat, q, k=10, nprobe=8).collect()]
+        brute2 = [(r["rank"], r["vec_id"]) for r in similarity.cosine_topk(
+            emb, q, 10).collect()]
+        assert got2 == brute2
+        # idempotent resume: re-running the same delta changes nothing
+        n_before = cat.read(spark, "ann_index").count()
+        similarity.ivf_index_commit(spark, cat, delta, n_clusters=8)
+        assert cat.read(spark, "ann_index").count() == n_before == emb.count()
+        # snapshot scan prunes on the cluster partition
+        plan = (
+            similarity.ivf_query_catalog(spark, cat, q, k=10, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "cluster" in plan.split("PartitionFilters")[1][:120]
+        # lineage rows recorded per commit
+        m = cat.read_metrics(spark).filter(F.col("job") == "ivf_index:ann_index")
+        assert m.count() > 0
+
     def test_ivf_assign_respects_id_col(self, spark):
         """ADVICE r3: the output id column must carry the caller's id_col
         name, not a hardcoded 'vec_id'."""
