@@ -773,6 +773,46 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-word / top-word / dup-bigram
+    fractions) — the curation signal family next to quality_scores."""
+    return text.repetition_signals(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(ts) AS tok FROM toks
+), wc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM words GROUP BY doc_id, tok
+), wstats AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct, max(cnt) AS top_cnt
+  FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+    len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct_bg
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(ts) >= 2
+           THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+           ELSE [] END AS bgs
+    FROM toks
+  )
+)
+SELECT w.doc_id, w.n_words,
+  round(1.0e0 - w.n_distinct / w.n_words, 6) AS dup_word_frac,
+  round(w.top_cnt / w.n_words, 6) AS top_word_frac,
+  round(CASE WHEN b.n_bigrams > 0
+             THEN 1.0e0 - b.n_distinct_bg / b.n_bigrams
+             ELSE 0.0e0 END, 6) AS dup_2gram_frac
+FROM wstats w JOIN bg b ON w.doc_id = b.doc_id
+ORDER BY w.doc_id
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1498,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "text_quality": _q_text_quality,
+        "repetition_signals": _q_repetition_signals,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "corpus_curation": _q_corpus_curation,
@@ -1559,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
+        "repetition_signals": _REPETITION_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,

@@ -89,6 +89,76 @@ def fingerprints(
     )
 
 
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics — the standard
+    curation filter family alongside :func:`quality_scores` (docs dominated
+    by repeated words/phrases are boilerplate or spam):
+
+    - ``dup_word_frac``   = 1 - distinct_words / total_words
+    - ``top_word_frac``   = occurrences of the most frequent word / total
+    - ``dup_2gram_frac``  = 1 - distinct_bigrams / total_bigrams (0 when
+      fewer than 2 words)
+
+    Physical plan: word stats go explode -> (doc, word) count -> per-doc
+    agg (both aggs map-side combined; the one shuffle carries (doc, word)
+    pairs).  Bigram stats stay INSIDE the row (array expressions over the
+    split — per-doc arrays are small, so the interpreted HOF cost is
+    bounded) and join back on the doc id.  Rounded to 6 for cross-engine
+    parity with the DuckDB oracle.
+    """
+    toks_arr = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(toks_arr).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    bigrams = F.when(
+        F.size(toks_arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_arr) - 1),
+            lambda i: F.concat(
+                F.element_at(toks_arr, i), F.lit(" "), F.element_at(toks_arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bg"),
+    )
+    return (
+        words.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    1.0 - F.col("n_distinct_bg") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,
