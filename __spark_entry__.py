@@ -756,6 +756,43 @@ ORDER BY doc_a, doc_b
 """
 
 
+_NGRAM_EVAL_IDS = [11, 42, 99]
+
+
+def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram eval-decontamination (text twin of the
+    embedding-space ``corpus_decontamination``): any shared distinct
+    3-gram with the eval docs flags a training doc."""
+    return text.ngram_contamination(
+        _t(spark, sf_dir, "documents"), _NGRAM_EVAL_IDS, n=3
+    ).orderBy("doc_id")
+
+
+_NGRAM_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks JOIN generate_series(1, 2000) g(i) ON g.i <= greatest(len(t) - 2, 1)
+), eg AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id IN ({", ".join(str(i) for i in _NGRAM_EVAL_IDS)})
+), shared AS (
+  SELECT g.doc_id, count(*) AS n_shared
+  FROM grams g JOIN eg ON g.gram = eg.gram
+  WHERE g.doc_id NOT IN ({", ".join(str(i) for i in _NGRAM_EVAL_IDS)})
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN coalesce(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE d.doc_id NOT IN ({", ".join(str(i) for i in _NGRAM_EVAL_IDS)})
+ORDER BY d.doc_id
+"""
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1539,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "text_quality": _q_text_quality,
         "repetition_signals": _q_repetition_signals,
+        "ngram_contamination": _q_ngram_contamination,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "corpus_curation": _q_corpus_curation,
@@ -1601,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "repetition_signals": _REPETITION_SQL,
+        "ngram_contamination": _NGRAM_CONTAMINATION_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,

@@ -159,6 +159,58 @@ def repetition_signals(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    eval_ids: list,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Text-level eval-set decontamination — the GPT-3/LLaMA-style n-gram
+    collision rule (13-grams at production scale; ``n`` parameterized for
+    the fixture): a training document is contaminated if it shares ANY
+    distinct word n-gram with any eval document.
+
+    Output (doc_id, n_shared, contaminated) over the NON-eval corpus,
+    where ``n_shared`` counts the distinct grams a doc shares with the
+    union of eval grams.
+
+    Physical plan: the eval gram set is tiny by construction (a few eval
+    docs) -> broadcast left-semi join against the corpus gram stream (one
+    explode, no shuffle), then a map-side-combined per-doc count.  The
+    corpus never self-joins — contrast :func:`~.dedup.ngram_jaccard_pairs`
+    which compares all pairs.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams_arr).alias("gram")
+    )
+    lits = [F.lit(e) for e in eval_ids]
+    eval_grams = grams.filter(F.col("doc_id").isin(*lits)).select("gram").distinct()
+    shared = (
+        grams.filter(~F.col("doc_id").isin(*lits))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.filter(~F.col(id_col).isin(*lits))
+        .select(F.col(id_col).alias("doc_id"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,
