@@ -1267,6 +1267,58 @@ class TestSimhashSkew:
         assert plain and salted == plain
 
 
+class TestTextCuration:
+    def test_repetition_signals_edges(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "spam spam spam spam",      # fully repeated
+                        "all words are different",  # no repetition
+                        "one",                       # single word: no bigrams
+                    ],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_words"], r["dup_word_frac"], r["top_word_frac"], r["dup_2gram_frac"]
+            )
+            for r in textop.repetition_signals(docs).collect()
+        }
+        assert got[1] == (4, 0.75, 1.0, round(1 - 1 / 3, 6))
+        assert got[2] == (4, 0.0, 0.25, 0.0)
+        assert got[3] == (1, 0.0, 1.0, 0.0)
+
+    def test_ngram_contamination_flags_shared_grams(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "text": [
+                        "the quick brown fox jumps",       # eval doc
+                        "look the quick brown dog here",   # shares 'the quick brown'
+                        "completely unrelated words here now",  # clean
+                        "quick brown fox jumps again",     # shares 2 grams
+                    ],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_shared"], r["contaminated"])
+            for r in textop.ngram_contamination(docs, [0], n=3).collect()
+        }
+        assert 0 not in got  # eval doc excluded from the output
+        assert got[1] == (1, 1)
+        assert got[2] == (0, 0)
+        assert got[3] == (2, 1)  # 'quick brown fox', 'brown fox jumps'
+
+
 class TestStratifiedSample:
     def test_rate_determinism_and_partition_independence(self, spark):
         from geetiles_spark.operators import text as textop
