@@ -756,6 +756,55 @@ ORDER BY doc_a, doc_b
 """
 
 
+_PACK_CAPACITY, _PACK_BINS = 256, 8
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — greedy first-fit of docs into 256-token context
+    windows across 8 hash bins; the DuckDB twin replays the EXACT greedy
+    recursion per bin with a recursive CTE (any divergence in the fill
+    rule, bin hash, or offsets breaks the value hash)."""
+    return text.pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=_PACK_CAPACITY, n_bins=_PACK_BINS
+    ).orderBy("doc_id")
+
+
+_PACK_HEX = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+_PACK_SQL = f"""
+WITH RECURSIVE staged AS (
+  SELECT doc_id,
+    CAST(({_PACK_HEX}) % {_PACK_BINS} AS INTEGER) AS bin,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), seq AS (
+  SELECT doc_id, bin, n_tokens,
+         row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn
+  FROM staged
+), pack AS (
+  SELECT doc_id, bin, n_tokens, rn,
+         CAST(0 AS BIGINT) AS window_id, CAST(0 AS BIGINT) AS "offset",
+         CAST(n_tokens AS BIGINT) AS cum
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.bin, s.n_tokens, s.rn,
+         CASE WHEN p.cum + s.n_tokens <= {_PACK_CAPACITY}
+              THEN p.window_id ELSE p.window_id + 1 END,
+         CASE WHEN p.cum + s.n_tokens <= {_PACK_CAPACITY}
+              THEN p.cum ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.cum + s.n_tokens <= {_PACK_CAPACITY}
+              THEN p.cum + s.n_tokens ELSE CAST(s.n_tokens AS BIGINT) END
+  FROM pack p JOIN seq s ON s.bin = p.bin AND s.rn = p.rn + 1
+)
+SELECT doc_id, bin, window_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens, "offset"
+FROM pack ORDER BY doc_id
+"""
+
+
 _NGRAM_EVAL_IDS = [11, 42, 99]
 
 
@@ -1577,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "repetition_signals": _q_repetition_signals,
         "ngram_contamination": _q_ngram_contamination,
+        "pack_sequences": _q_pack_sequences,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "corpus_curation": _q_corpus_curation,
@@ -1640,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "repetition_signals": _REPETITION_SQL,
         "ngram_contamination": _NGRAM_CONTAMINATION_SQL,
+        "pack_sequences": _PACK_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "corpus_curation": _CORPUS_CURATION_SQL,

@@ -211,6 +211,66 @@ def ngram_contamination(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    n_bins: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing — the training-batch preparation step: greedy
+    first-fit of documents into fixed-capacity context windows.
+
+    Docs hash into ``n_bins`` independent bins (md5-based, so the DuckDB
+    oracle reproduces the assignment; xxhash64 has no DuckDB counterpart);
+    within a bin, docs are taken in id order and appended to the current
+    window while the whitespace-token count fits, else a new window opens
+    (a doc longer than ``capacity`` occupies a window alone).  Output
+    (doc_id, bin, window_id, n_tokens, offset) — ``offset`` is the doc's
+    token start inside its window.
+
+    Scale shape: packing is inherently sequential, so the BIN is the unit
+    of parallelism — ``n_bins`` scales with the cluster while each bin
+    packs deterministically (independent of Spark partitioning) inside one
+    ``applyInPandas`` group.  The per-bin greedy scan is O(docs/bin) numpy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    toks = F.split(F.col(text_col), " ")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h, F.lit(n_bins)).cast("int").alias("bin"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+    def pack(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        t = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        win = np.zeros(len(t), dtype=np.int64)
+        off = np.zeros(len(t), dtype=np.int64)
+        cum = 0
+        w = 0
+        for i in range(len(t)):
+            if i > 0 and cum + t[i] > capacity:
+                w += 1
+                cum = 0
+            win[i] = w
+            off[i] = cum
+            cum += t[i]
+        out = pdf.copy()
+        out["window_id"] = win
+        out["offset"] = off
+        return out[["doc_id", "bin", "window_id", "n_tokens", "offset"]]
+
+    return staged.groupBy("bin").applyInPandas(
+        pack, "doc_id long, bin int, window_id long, n_tokens int, offset long"
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,

@@ -1319,6 +1319,33 @@ class TestTextCuration:
         assert got[3] == (2, 1)  # 'quick brown fox', 'brown fox jumps'
 
 
+class TestPackSequences:
+    def test_invariants_and_partition_independence(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cap = 200
+        out = textop.pack_sequences(docs, capacity=cap, n_bins=4).toPandas()
+        assert len(out) == docs.count()
+        # per (bin, window): token sum fits the capacity unless the window
+        # holds a single overlong doc
+        for (_, _), g in out.groupby(["bin", "window_id"]):
+            total = g["n_tokens"].sum()
+            assert total <= cap or len(g) == 1
+            # offsets are the contiguous prefix sums in doc_id order
+            g = g.sort_values("doc_id")
+            assert list(g["offset"]) == list(
+                g["n_tokens"].cumsum().shift(fill_value=0)
+            )
+        # deterministic under a different input partitioning
+        out2 = textop.pack_sequences(
+            docs.repartition(13), capacity=cap, n_bins=4
+        ).toPandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+
 class TestStratifiedSample:
     def test_rate_determinism_and_partition_independence(self, spark):
         from geetiles_spark.operators import text as textop
