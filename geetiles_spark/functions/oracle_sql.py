@@ -868,6 +868,49 @@ ORDER BY tile_id
 """
 
 
+def png_stats_pattern_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternpng-2020",
+    height: int = 24,
+    width: int = 24,
+    bands: int = 3,
+) -> str:
+    """Compressed-image-modality oracle: the closed-form pixel block
+    ``(seed + 7919*(y*w+x) + 104729*band) % 256`` (seed =
+    ``int(sha256('{dataset}/'||tile_id)[:12], 16)``) re-generated per pixel
+    in SQL with the SAME exact-integer per-band reductions the engine
+    applies AFTER round-tripping those pixels through a real PNG stream
+    (``sources.png``: filtered scanlines, zlib, CRC chunks — filter type =
+    ``seed % 5`` so all five unfilter branches are inside the hash).  The
+    oracle never touches PNG bytes: it states what the decoded pixels must
+    be, so any encode/inflate/unfilter defect breaks the value hash."""
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "pngseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    n = height * width
+    return f"""
+WITH {body},
+{seed.render()},
+px AS (
+  SELECT tile_id, b.b AS band,
+         (seed + 7919 * g.i + 104729 * b.b) % 256 AS v
+  FROM {seed.last()},
+       generate_series(0, {n - 1}) g(i),
+       generate_series(0, {bands - 1}) b(b)
+)
+SELECT tile_id,
+       '{dataset}' AS dataset,
+       CAST(band AS INTEGER) AS band,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(min(v) AS BIGINT) AS min_val,
+       CAST(max(v) AS BIGINT) AS max_val,
+       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM px
+GROUP BY tile_id, band
+ORDER BY tile_id, band
+"""
+
+
 def s2_cloud_median_oracle_sql(
     chip_size_m: float,
     dataset: str = "s2cloudmedian-2020",

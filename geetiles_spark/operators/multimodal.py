@@ -1,13 +1,15 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` payloads with typed metadata.
 
-Images here are the engine's own raw-chip format (C-order numpy bytes +
-height/width/bands/dtype columns — see sources/chips.py), so decode is a real
-``np.frombuffer``.  Compressed codecs (JPEG/PNG), audio and video decoding
-need external libraries this container doesn't ship — those decode branches
-are STUBBED behind ``NotImplementedError`` with the Spark-side plumbing
-(schema, batching, UDF signature, partitioning) fully real and tested on the
-raw format.
+Images here are either the engine's own raw-chip format (C-order numpy
+bytes + height/width/bands/dtype columns — see sources/chips.py), decoded
+with a real ``np.frombuffer``, or REAL PNG streams decoded by the
+pure-stdlib codec in :mod:`..sources.png` (zlib inflate + scanline
+unfilter, all five PNG filters — no external library needed).  Only the
+codecs that genuinely require native libraries (JPEG's DCT, video) remain
+STUBBED behind ``NotImplementedError`` with the Spark-side plumbing
+(schema, batching, UDF signature, partitioning) fully real and tested on
+the decodable formats.
 
 All operators are ``mapInPandas`` stages: Arrow moves the binary batches,
 numpy does the math, nothing is per-row Python beyond the ndarray reshape.
@@ -23,16 +25,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources import png
 from ..sources.chips import decode_payload
 
-_SUPPORTED_FORMATS = {"raw"}
+_SUPPORTED_FORMATS = {"raw", "png"}
 
 
 def _decode(payload: bytes, fmt: str, dtype: str, h: int, w: int, bands: int) -> np.ndarray:
+    if fmt == "png":
+        arr = png.decode_png(payload)
+        got_bands = 1 if arr.ndim == 2 else arr.shape[2]
+        if arr.shape[0] != h or arr.shape[1] != w or got_bands != bands:
+            raise ValueError(
+                f"PNG decoded to {arr.shape}, metadata says ({h},{w},{bands})"
+            )
+        return arr
     if fmt not in _SUPPORTED_FORMATS:
-        # STUB: compressed codecs need PIL/libjpeg etc. (absent here).  In
-        # production this branch calls the codec; the surrounding plumbing
-        # (schema, batching, stats) is identical.
+        # STUB: DCT codecs (JPEG) / video need libjpeg/ffmpeg (absent here).
+        # In production this branch calls the codec; the surrounding
+        # plumbing (schema, batching, stats) is identical.
         raise NotImplementedError(f"codec '{fmt}' not available in this environment")
     return decode_payload(payload, dtype, h, w, bands)
 
