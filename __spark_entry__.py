@@ -1093,6 +1093,28 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
+# contract IVF index: written ONCE per process per fixture dir and removed
+# at interpreter exit — a fresh mkdtemp per invocation accumulated full
+# index copies in /tmp across contract/bench runs (ADVICE r4).  Keyed on
+# the fixture path; the TemporaryDirectory object is held so it survives
+# until exit, then self-cleans.
+_IVF_INDEX_CACHE: dict[str, tuple[object, str, object]] = {}
+
+
+def _ivf_contract_index(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    got = _IVF_INDEX_CACHE.get(sf_dir)
+    if got is None:
+        import tempfile
+
+        d = tempfile.TemporaryDirectory(prefix="ivf_contract_")
+        path = d.name + "/index"
+        emb = _t(spark, sf_dir, "embeddings")
+        C = similarity.ivf_write_index(emb, path, n_clusters=8)
+        got = (d, path, C)
+        _IVF_INDEX_CACHE[sf_dir] = got
+    return got[1], got[2]
+
+
 def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN through the MATERIALIZED index (VERDICT r3 #4): write the
     corpus partitionBy(cluster), probe with nprobe == n_clusters — the
@@ -1103,12 +1125,9 @@ def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks equality).  The cluster predicate reaches the scan as
     PartitionFilters (pinned by pytest); partial-probe recall is asserted
     in pytest."""
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    path = tempfile.mkdtemp(prefix="ivf_contract_") + "/index"
-    C = similarity.ivf_write_index(emb, path, n_clusters=8)
+    path, C = _ivf_contract_index(spark, sf_dir)
     return similarity.ivf_query_index(
         spark, path, C, [float(x) for x in qvec], k=10, nprobe=8
     )
@@ -1136,12 +1155,11 @@ def _q_embedding_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch probe against the materialized IVF index, full probe: one
     partition-pruned scan serves all queries; equality with the brute batch
-    oracle checks the per-cluster query masking end-to-end."""
-    import tempfile
-
+    oracle checks the per-cluster query masking end-to-end.  Shares the
+    per-process index of :func:`_ivf_contract_index` (same corpus, same
+    deterministic quantizer)."""
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_contract_b_") + "/index"
-    C = similarity.ivf_write_index(emb, path, n_clusters=8)
+    path, C = _ivf_contract_index(spark, sf_dir)
     return similarity.ivf_query_index_batch(
         spark, path, C, _emb_queries(emb), k=10, nprobe=8
     ).orderBy("query_id", "rank")

@@ -106,7 +106,8 @@ def cosine_topk_batch(
     Q = np.stack(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
     )
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # norm floor: a zero query vector scores 0 everywhere instead of NaN
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
     b = spark.sparkContext.broadcast((qids, Q))
 
     schema = T.StructType(
@@ -124,8 +125,14 @@ def cosine_topk_batch(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(norms, 1e-30)
             sims = np.round(mat @ Qm.T, 6)  # (n, Q)
+            # a zero-norm corpus row scores -inf deterministically — if it
+            # produced NaN, a NaN landing at the kk-th position would make
+            # the threshold NaN and `sims >= thr` all-False, silently
+            # dropping every valid candidate of that batch (ADVICE r4)
+            sims[norms[:, 0] == 0.0] = -np.inf
             n = sims.shape[0]
             kk = min(k, n)
             # keep every row >= the kk-th largest sim of this batch (not a
@@ -705,11 +712,16 @@ def ivf_query_index_batch(
     C = np.asarray(centroids)
     rows = queries.select(query_id_col, query_vec_col).collect()
     if not rows:
+        # derive vec_id's type from the index parquet, exactly like the
+        # non-empty path — a hardcoded LongType made the two branches
+        # schema-inconsistent for custom id columns (ADVICE r4)
         empty = T.StructType(
             [
                 T.StructField("query_id", queries.schema[query_id_col].dataType),
                 T.StructField("rank", T.IntegerType(), False),
-                T.StructField("vec_id", T.LongType()),
+                T.StructField(
+                    "vec_id", spark.read.parquet(path).schema[id_col].dataType
+                ),
                 T.StructField("cos_sim", T.DoubleType()),
             ]
         )
@@ -718,7 +730,7 @@ def ivf_query_index_batch(
     Q = np.stack(
         [np.asarray(r[query_vec_col], dtype=np.float64) for r in rows]
     )
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
     npb = min(nprobe, len(C))
     # (n_clusters, Q) probe mask + the union for the partition filter
     order = np.argsort(-(Q @ C.T), axis=1)  # (Q, n_clusters)
@@ -746,8 +758,10 @@ def ivf_query_index_batch(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(norms, 1e-30)
             sims = np.round(mat @ Qm.T, 6)  # (n, Q)
+            sims[norms[:, 0] == 0.0] = -np.inf  # see cosine_topk_batch
             valid = pm[pdf["cluster"].to_numpy().astype(int)]  # (n, Q)
             masked = np.where(valid, sims, -np.inf)
             n = sims.shape[0]

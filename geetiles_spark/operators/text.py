@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 _LANG_MARKERS = [
@@ -214,7 +215,7 @@ def ngram_contamination(
 def pack_sequences(
     docs: DataFrame,
     capacity: int,
-    n_bins: int = 8,
+    n_bins: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -232,11 +233,21 @@ def pack_sequences(
     Scale shape: packing is inherently sequential, so the BIN is the unit
     of parallelism — ``n_bins`` scales with the cluster while each bin
     packs deterministically (independent of Spark partitioning) inside one
-    ``applyInPandas`` group.  The per-bin greedy scan is O(docs/bin) numpy.
+    ``applyInPandas`` group.  The per-bin greedy scan is a Python loop
+    (~1s per million docs), so ``n_bins`` bounds BOTH parallelism and the
+    per-task wall: the default is the session's ``defaultParallelism``
+    (= cluster cores), and at 10^12 docs callers should size
+    ``n_bins >= total_docs / ~10^7`` so no bin's loop exceeds seconds.
+    Bins-vs-determinism contract: output depends on ``n_bins`` (a doc's
+    bin changes with the modulus), so fix ``n_bins`` explicitly wherever
+    bit-reproducibility across differently-sized clusters matters — the
+    md5 bin rule itself is partition- and cluster-size-independent.
     """
     import numpy as np
     import pandas as pd
 
+    if n_bins is None:
+        n_bins = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     toks = F.split(F.col(text_col), " ")
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
@@ -266,9 +277,18 @@ def pack_sequences(
         out["offset"] = off
         return out[["doc_id", "bin", "window_id", "n_tokens", "offset"]]
 
-    return staged.groupBy("bin").applyInPandas(
-        pack, "doc_id long, bin int, window_id long, n_tokens int, offset long"
+    # output id type follows the input id column (a literal 'doc_id long'
+    # DDL broke string ids via Arrow cast — ADVICE r4)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema[id_col].dataType),
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("window_id", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
     )
+    return staged.groupBy("bin").applyInPandas(pack, out_schema)
 
 
 def stratified_sample(

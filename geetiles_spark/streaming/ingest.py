@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from ..sources.docs import DOC_SCHEMA
 
@@ -236,6 +237,82 @@ def stream_media_refs(
     return int(sum(p["numInputRows"] for p in q.recentProgress))
 
 
+class _AppendedListener(StreamingQueryListener):
+    """StreamingQueryListener accumulating the ``appended`` observed metric
+    per query id — exact regardless of micro-batch count, unlike summing
+    ``recentProgress`` which silently drops batches past its ~100-event
+    ring buffer (ADVICE r4)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.totals: dict[str, int] = {}
+        self._done: dict[str, threading.Event] = {}
+        self._lock = threading.Lock()
+
+    def _done_event(self, qid: str):
+        import threading
+
+        with self._lock:
+            return self._done.setdefault(qid, threading.Event())
+
+    # StreamingQueryListener interface (duck-typed; registered via
+    # spark.streams.addListener)
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        row = (p.observedMetrics or {}).get("appended")
+        if row is not None:
+            with self._lock:
+                self.totals[str(p.id)] = self.totals.get(str(p.id), 0) + int(
+                    row["n"]
+                )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self._done_event(str(event.id)).set()
+
+
+def _await_appended_total(spark: SparkSession, q) -> int:
+    """Block until ``q`` terminates AND its listener events drained, then
+    return the exact appended-row total.  Listener delivery is async, so
+    after ``awaitTermination`` we wait for the terminated event (ordered
+    after every progress event on the listener bus); if it doesn't arrive
+    the ``recentProgress`` sum is the (possibly truncated) fallback."""
+    listener = q._appended_listener
+    q.awaitTermination()
+    qid = str(q.id)
+    try:
+        if listener._done_event(qid).wait(timeout=60):
+            return listener.totals.get(qid, 0)
+        total = 0
+        for p in q.recentProgress:
+            row = (p.get("observedMetrics") or {}).get("appended")
+            if row is not None:
+                total += int(row["n"])
+        return total
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def _start_counted(spark: SparkSession, writer):
+    """Attach a fresh appended-metric listener BEFORE starting the query so
+    no progress event can be missed."""
+    listener = _AppendedListener()
+    spark.streams.addListener(listener)
+    try:
+        q = writer.start()
+    except Exception:
+        spark.streams.removeListener(listener)
+        raise
+    q._appended_listener = listener
+    return q
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     docs_dir: str,
@@ -256,9 +333,9 @@ def stream_dedup_exact(
     dropped in-flight must not count).  The FileSink does not report
     ``numOutputRows`` (always -1), so the count comes from an ``observe()``
     metric on the deduped stream — measured where the rows flow to the sink,
-    no extra job.  Note ``recentProgress`` holds the last ~100 progress
-    events, so a single pass with more micro-batches than that
-    under-reports.
+    no extra job — accumulated by a ``StreamingQueryListener`` so it is
+    exact for ANY number of micro-batches (summing ``recentProgress``
+    capped at its ~100-event ring buffer — ADVICE r4).
     """
     from ..sources.docs import DOC_SCHEMA  # noqa: F401 (schema doc)
 
@@ -275,21 +352,15 @@ def stream_dedup_exact(
         .select("doc_id", "content_hash", "n_chars")
         .observe("appended", F.count(F.lit(1)).alias("n"))
     )
-    q = (
+    q = _start_counted(
+        spark,
         deduped.writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+        .outputMode("append"),
     )
-    q.awaitTermination()
-    total = 0
-    for p in q.recentProgress:
-        row = (p.get("observedMetrics") or {}).get("appended")
-        if row is not None:
-            total += int(row["n"])
-    return total
+    return _await_appended_total(spark, q)
 
 
 def stream_dedup_within_watermark(
@@ -333,18 +404,12 @@ def stream_dedup_within_watermark(
         .select("event_id", "ts", *keys)
         .observe("appended", F.count(F.lit(1)).alias("n"))
     )
-    q = (
+    q = _start_counted(
+        spark,
         deduped.writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+        .outputMode("append"),
     )
-    q.awaitTermination()
-    total = 0
-    for p in q.recentProgress:
-        row = (p.get("observedMetrics") or {}).get("appended")
-        if row is not None:
-            total += int(row["n"])
-    return total
+    return _await_appended_total(spark, q)

@@ -1,0 +1,156 @@
+"""Regression tests for the ADVICE r4 fixes (round 5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class TestZeroNormEmbeddings:
+    def test_topk_batch_zero_vector_does_not_poison_batch(self, spark):
+        """A zero-norm corpus row used to yield NaN sims; a NaN at the
+        kk-th partition position made the per-query threshold NaN and
+        dropped EVERY valid candidate of that batch silently."""
+        from geetiles_spark.operators import similarity
+
+        rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        got = similarity.cosine_topk_batch(emb, qs, k=3).collect()
+        ids = [r.vec_id for r in got]
+        assert ids[:2] == [0, 1]
+        assert 2 not in ids  # zero vector scores -inf, never ranks
+        assert len(got) == 3
+
+    def test_zero_query_vector_is_deterministic(self, spark):
+        from geetiles_spark.operators import similarity
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(5)],
+            "vec_id long, embedding array<double>",
+        )
+        qs = spark.createDataFrame(
+            [(9, [0.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        got = similarity.cosine_topk_batch(emb, qs, k=2).collect()
+        # all sims 0 -> ties broken by vec_id asc, no NaN anywhere
+        assert [r.vec_id for r in got] == [0, 1]
+        assert all(r.cos_sim == 0.0 for r in got)
+
+    def test_ivf_batch_zero_vector_in_index(self, spark, tmp_path):
+        from geetiles_spark.operators import similarity
+
+        rows = [
+            (i, [float(np.cos(i * 0.7)), float(np.sin(i * 0.7))])
+            for i in range(20)
+        ] + [(99, [0.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        path = str(tmp_path / "idx")
+        C = similarity.ivf_write_index(emb, path, n_clusters=3)
+        qs = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        got = similarity.ivf_query_index_batch(
+            spark, path, C, qs, k=5, nprobe=3
+        ).collect()
+        assert len(got) == 5
+        assert 99 not in [r.vec_id for r in got]
+
+
+class TestIvfBatchEmptySchema:
+    def test_empty_and_nonempty_schemas_match_for_string_ids(self, spark, tmp_path):
+        """Empty-queries branch hardcoded vec_id LongType while the
+        non-empty path derives it from the index parquet (ADVICE r4)."""
+        from geetiles_spark.operators import similarity
+
+        emb = spark.createDataFrame(
+            [
+                (f"d{i}", [float(np.cos(i * 0.9)), float(np.sin(i * 0.9))])
+                for i in range(12)
+            ],
+            "vec_id string, embedding array<double>",
+        )
+        path = str(tmp_path / "idx")
+        C = similarity.ivf_write_index(emb, path, n_clusters=2)
+        qschema = "query_id long, query_vec array<double>"
+        nonempty = similarity.ivf_query_index_batch(
+            spark, path, C,
+            spark.createDataFrame([(1, [1.0, 0.0])], qschema), k=3, nprobe=2,
+        )
+        empty = similarity.ivf_query_index_batch(
+            spark, path, C, spark.createDataFrame([], qschema), k=3, nprobe=2,
+        )
+        assert empty.schema == nonempty.schema
+        assert empty.count() == 0
+        assert nonempty.count() == 3
+
+
+class TestPackSequences:
+    def test_string_doc_ids(self, spark):
+        """Output id type follows the input id column; the literal
+        'doc_id long' DDL broke string ids via Arrow cast (ADVICE r4)."""
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            [(f"doc-{i}", "w " * (i + 1)) for i in range(20)],
+            "doc_id string, text string",
+        )
+        out = textop.pack_sequences(docs, capacity=16, n_bins=4)
+        assert out.schema["doc_id"].dataType == T.StringType()
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r.doc_id.startswith("doc-") for r in rows)
+        assert all(r.offset + 0 <= 16 for r in rows)
+
+    def test_default_bins_from_parallelism(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(50)], "doc_id long, text string"
+        )
+        out = textop.pack_sequences(docs, capacity=8)
+        nbins = out.select("bin").distinct().count()
+        dp = spark.sparkContext.defaultParallelism
+        assert 1 <= nbins <= dp  # 50 docs hash into <= defaultParallelism bins
+
+    def test_explicit_bins_unchanged_vs_oracle_contract(self, spark):
+        """The contract query pins n_bins=8; the derived default must not
+        leak into explicit calls."""
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            [(i, "x " * (i % 7 + 1)) for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = textop.pack_sequences(docs, capacity=32, n_bins=8).collect()
+        b = textop.pack_sequences(docs, capacity=32, n_bins=8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert {r.bin for r in a} <= set(range(8))
+
+
+class TestStreamingAppendedCount:
+    def test_count_equals_sink_rows_across_many_batches(self, spark, tmp_path):
+        """The appended count now comes from a StreamingQueryListener —
+        exact regardless of batch count (recentProgress caps at ~100).
+        Force many micro-batches with maxFilesPerTrigger=1-sized inputs
+        via many input files, then check count == rows actually in sink."""
+        import pandas as pd
+
+        from geetiles_spark.streaming import ingest
+
+        src = tmp_path / "docs"
+        src.mkdir()
+        # 12 files, one row each, 3 duplicate texts -> 9 distinct
+        for i in range(12):
+            text = f"t{i % 9}"
+            pd.DataFrame(
+                [{"doc_id": i, "text": text, "lang": "en",
+                  "source": "s", "n_chars": len(text)}]
+            ).to_parquet(src / f"part-{i:03d}.parquet")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        n = ingest.stream_dedup_exact(spark, str(src), sink, ckpt)
+        in_sink = spark.read.parquet(sink).count()
+        assert n == in_sink == 9
