@@ -148,6 +148,76 @@ class Catalog:
         m = {**carried, "op": "merge", "keys": keys, **(meta or {})}
         return self.write(merged, name, m, partition_by=partition_by)
 
+    # ------------------------------------------------- maintenance ---------
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All commit-log records of ``name``, oldest first (Iceberg
+        ``table.history()`` analog)."""
+        tdir = self._table_dir(name)
+        out = []
+        for fn in os.listdir(tdir):
+            if fn.endswith(".commit.json"):
+                with open(os.path.join(tdir, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["ts"])
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[str]:
+        """Iceberg ``expire_snapshots`` analog (VERDICT r4 #5:
+        ``merge_upsert``/``ivf_index_commit`` append snapshots forever
+        without this): delete all but the newest ``keep_last`` snapshot
+        directories + commit records.  The CURRENT snapshot is always
+        retained regardless of age; time travel keeps working for retained
+        snapshots and raises for expired ones; retained commits keep their
+        ``parent`` field even when the parent was expired (history
+        truncation, exactly Iceberg's behavior).  Returns expired ids.
+
+        Reference analog: the content-hash save lifecycle replaces old
+        partition-set files the same way (``partitions.py:199-229``)."""
+        import shutil
+
+        cur = self.current_snapshot(name)
+        snaps = self.snapshots(name)
+        keep = {m["snapshot"] for m in snaps[-max(keep_last, 1):]}
+        if cur is not None:
+            keep.add(cur)
+        expired = []
+        for m in snaps:
+            s = m["snapshot"]
+            if s in keep:
+                continue
+            d = os.path.join(self._table_dir(name), s)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            os.remove(os.path.join(self._table_dir(name), f"{s}.commit.json"))
+            expired.append(s)
+        return expired
+
+    def compact(self, spark: SparkSession, name: str, target_files: int = 1) -> str:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog) —
+        merge-heavy tables accumulate one file set per MERGE; this rewrites
+        the CURRENT snapshot as a new commit with ``op='compact'``.
+
+        Partitioned tables are shuffled on their partition spec so every
+        hive partition lands in exactly one task -> one file per partition
+        directory; unpartitioned tables coalesce to ``target_files``.
+        Query results are byte-identical (same rows, same schema), the
+        partition spec and carried table properties (ANN centroids, dataset
+        hashes) survive via the same carry rule as ``merge_upsert``, and
+        the commit's ``parent`` keeps the lineage chain intact."""
+        parent_meta = self.commit_meta(name)
+        carried = {
+            k: v
+            for k, v in parent_meta.items()
+            if k not in ("snapshot", "parent", "ts", "op", "keys", "partition_by")
+        }
+        partition_by = parent_meta.get("partition_by")
+        cur = self.read(spark, name)
+        if partition_by:
+            df = cur.repartition(*[F.col(c) for c in partition_by])
+        else:
+            df = cur.coalesce(max(target_files, 1))
+        return self.write(df, name, {**carried, "op": "compact"}, partition_by=partition_by)
+
     # ----------------------------------------------- tiles hash guard ------
 
     def save_partitionset(

@@ -130,6 +130,107 @@ class TestPackSequences:
         assert {r.bin for r in a} <= set(range(8))
 
 
+class TestCatalogMaintenance:
+    """VERDICT r4 #5: snapshot expiry + small-file compaction for the
+    merge-heavy catalog tables (the IVF index being the archetype)."""
+
+    def _pq_files(self, d):
+        import pathlib
+
+        return [p for p in pathlib.Path(d).rglob("*.parquet")]
+
+    def test_compact_and_expire_ivf_index(self, spark, tmp_path):
+        from geetiles_spark.catalog import Catalog
+        from geetiles_spark.operators import similarity
+
+        cat = Catalog(str(tmp_path / "cat"))
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        # three commits -> three snapshots, many small files per partition
+        for lo, hi in [(0, 200), (200, 400), (400, 10**9)]:
+            similarity.ivf_index_commit(
+                spark, cat,
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                n_clusters=8,
+            )
+        assert len(cat.snapshots("ann_index")) == 3
+        before_rows = sorted(
+            (r.vec_id, r.cluster) for r in cat.read(spark, "ann_index").collect()
+        )
+        before_files = len(self._pq_files(cat.snapshot_path("ann_index")))
+        probe_before = [
+            (r["rank"], r["vec_id"])
+            for r in similarity.ivf_query_catalog(spark, cat, q, k=10, nprobe=8).collect()
+        ]
+
+        # ---- compaction: identical results, fewer files, spec preserved
+        cat.compact(spark, "ann_index")
+        after_rows = sorted(
+            (r.vec_id, r.cluster) for r in cat.read(spark, "ann_index").collect()
+        )
+        assert after_rows == before_rows
+        after_files = len(self._pq_files(cat.snapshot_path("ann_index")))
+        n_clusters = cat.read(spark, "ann_index").select("cluster").distinct().count()
+        assert after_files == n_clusters < before_files  # one file per partition dir
+        meta = cat.commit_meta("ann_index")
+        assert meta["op"] == "compact"
+        assert meta["partition_by"] == ["cluster"]
+        assert "ann_centroids" in meta  # table properties carried
+        probe_after = [
+            (r["rank"], r["vec_id"])
+            for r in similarity.ivf_query_catalog(spark, cat, q, k=10, nprobe=8).collect()
+        ]
+        assert probe_after == probe_before
+        plan = (
+            similarity.ivf_query_catalog(spark, cat, q, k=10, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan  # pruning survives compaction
+
+        # ---- expiry: keep last 2 (incl. current), older gone
+        snaps = [m["snapshot"] for m in cat.snapshots("ann_index")]
+        expired = cat.expire_snapshots("ann_index", keep_last=2)
+        assert expired == snaps[:-2]
+        retained = [m["snapshot"] for m in cat.snapshots("ann_index")]
+        assert retained == snaps[-2:]
+        # current snapshot fully readable after expiry
+        assert (
+            sorted((r.vec_id, r.cluster) for r in cat.read(spark, "ann_index").collect())
+            == before_rows
+        )
+        # time travel to a RETAINED snapshot still works
+        assert cat.read(spark, "ann_index", snap=retained[0]).count() == len(before_rows)
+        # expired snapshot is gone
+        with pytest.raises(Exception):
+            cat.read(spark, "ann_index", snap=expired[0]).count()
+
+    def test_expire_never_drops_current(self, spark, tmp_path):
+        from geetiles_spark.catalog import Catalog
+
+        cat = Catalog(str(tmp_path / "cat"))
+        df = spark.range(10).withColumnRenamed("id", "k")
+        cat.write(df, "t")
+        cat.write(df.withColumn("k", F.col("k") + 1), "t")
+        expired = cat.expire_snapshots("t", keep_last=1)
+        assert len(expired) == 1
+        assert cat.read(spark, "t").count() == 10
+
+    def test_compact_unpartitioned_coalesces(self, spark, tmp_path):
+        import pathlib
+
+        from geetiles_spark.catalog import Catalog
+
+        cat = Catalog(str(tmp_path / "cat"))
+        df = spark.range(100).repartition(8)
+        cat.write(df, "t")
+        before = len(list(pathlib.Path(cat.snapshot_path("t")).glob("*.parquet")))
+        assert before > 1
+        cat.compact(spark, "t", target_files=1)
+        after = len(list(pathlib.Path(cat.snapshot_path("t")).glob("*.parquet")))
+        assert after == 1
+        assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(100))
+
+
 class TestStreamingAppendedCount:
     def test_count_equals_sink_rows_across_many_batches(self, spark, tmp_path):
         """The appended count now comes from a StreamingQueryListener —
