@@ -24,15 +24,21 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {"interval_spatial_join", "interval_spatial_join_exact"}
 
 
+def _all_queries():
+    # plan laws cover the demoted cross-strategy twins too — they remain
+    # shipped code paths
+    return {**E.queries(), **E.extra_queries()}
+
+
 def _plan(spark, name):
     return (
-        E.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+        _all_queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
     )
 
 
 class TestPlanShapes:
     def test_no_cartesian_products(self, spark):
-        for name in E.queries():
+        for name in _all_queries():
             plan = _plan(spark, name)
             assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
             if name not in BNLJ_ALLOWED:
