@@ -154,6 +154,16 @@ def lsh_candidate_pairs(
     one cheap action; when NO bucket is hot (the common, clean-corpus case)
     the plan short-circuits to the plain equi-join with no anti/semi/salt
     stages at all.
+
+    Sizing on skewed corpora (measured, BENCH/LLM_SCALING.md): a COLD
+    bucket just under ``hot_bucket_size`` emits ~df^2/2 pairs inside one
+    (band, sig) join granule, and a salted hot bucket ~df^2/n_salts per
+    granule — so bound the per-task pair emission with
+    ``hot_bucket_size ~ sqrt(2 x target_pairs_per_task)`` and
+    ``n_salts ~ max_expected_df / hot_bucket_size``.  With defaults
+    (1024, 16) a near-threshold bucket's granule is ~0.5M pairs; sizing to
+    (256, 64) on a mega-cluster corpus took the largest partition's share
+    of emitted pairs from 0.34 to 0.035.
     """
     rows_per_band = num_hashes // bands
     # flat (non-distinct) shingles: min is idempotent over duplicates and
