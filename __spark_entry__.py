@@ -1601,6 +1601,20 @@ def _q_geo_chip_dims_mpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.select("tile_id", "height", "width").orderBy("tile_id")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) — NEW r5: deterministic probe centroids ->
+    nearest-centroid clusters -> within-cluster keep-first cosine rule
+    (drop a vector iff a lower-id cluster member reaches cos >= 0.4).
+    Cluster-blocked matmul, O(n) output, NO pair materialization — the
+    scale shape cosine_pairs can't have.  The DuckDB twin embeds the SAME
+    centroid float literals, re-derives assignment as argmax dot, and
+    replays the drop rule (oracle_sql.semantic_dedup_oracle_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    C = similarity.semantic_probe_centroids(8, 64, 7)
+    return similarity.semantic_dedup(emb, C, threshold=0.4).orderBy("vec_id")
+
+
 def _q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule span-sequence invariant, driver-checked: every
     (kind, text, media_ref, offset) of the pattern documents vs the SQL
@@ -1681,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk_batch": _q_embedding_ivf_topk_batch,
         "corpus_decontamination": _q_corpus_decontaminate,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         # scalar kernels + additional joins with SQL twins
         "pixel_range_map": _q_range_map,
         "pixel_value_map": _q_value_map,
@@ -1711,7 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_random_partitions_hashed": _q_geo_random_partitions_hashed,
         "geo_clipped_grid": _q_geo_clipped_grid,
         "geo_chip_dims_mpp": _q_geo_chip_dims_mpp,
-        "doc_spans": _q_doc_spans,
+        # doc_spans demoted to extras: its pipeline is the strict prefix of
+        # doc_span_fingerprints (posexplode + span exprs), which stays
         "doc_span_fingerprints": _q_doc_span_fingerprints,
         "embedding_lsh_pairs": _q_embedding_lsh_pairs,
     }
@@ -1744,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk_batch": _EMB_TOPK_BATCH_SQL,
         "corpus_decontamination": _DECONTAMINATE_SQL,
         "embedding_neardup_pairs": _EMB_NEARDUP_SQL,
+        "semantic_dedup": _oracle_mod().semantic_dedup_oracle_sql(0.4, 8, 64, 7),
         "pixel_range_map": _RANGE_MAP_SQL,
         "pixel_value_map": _VALUE_MAP_SQL,
         "simhash_hamming_pairs": _simhash_pairs_sql(),
@@ -1771,7 +1788,6 @@ def oracle_sql() -> dict[str, str]:
         "geo_dataset_assembly": _oracle_mod().assembly_pattern_oracle_sql(500),
         "geo_chip_dims_mpp": _oracle_mod().chip_dims_oracle_sql(500, 150.0),
         "geo_mosaic_blocks": _oracle_mod().mosaic_pattern_oracle_sql(500, 2.0),
-        "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
         "doc_span_fingerprints": _oracle_mod().doc_span_fingerprints_oracle_sql(
             500, "patternimage-2020"
         ),
@@ -1790,6 +1806,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_points": _q_knn,
         "geo_grid_tiles_sql_checked": _q_geo_grid_sql_checked,
         "geo_random_partitions": _q_geo_random_partitions,
+        "doc_spans": _q_doc_spans,
     }
 
 
@@ -1800,6 +1817,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pip_join": _PIP_SQL,
         "knn_points": _knn_sql(),
         "geo_grid_tiles_sql_checked": _grid_oracle(),
+        "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

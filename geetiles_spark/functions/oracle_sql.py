@@ -868,6 +868,61 @@ ORDER BY tile_id
 """
 
 
+def semantic_dedup_oracle_sql(
+    threshold: float, k: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    """SemDeDup oracle: the SAME deterministic centroid matrix the Spark
+    query uses (``similarity.semantic_probe_centroids`` — seeded, data-
+    independent) embedded as DOUBLE literals, assignment re-derived as
+    argmax dot (row_number over dot DESC, j ASC), then the keep-first rule:
+    a vector is dropped iff a lower-id member of ITS cluster reaches
+    ``round(cos, 6) >= threshold``.  Output (vec_id, cluster, keep)."""
+    from ..operators.similarity import semantic_probe_centroids
+
+    C = semantic_probe_centroids(k, dim, seed)
+    vals = ",\n  ".join(
+        f"({j}, [{', '.join(_L(x) for x in C[j])}])" for j in range(len(C))
+    )
+    t = _L(threshold)
+    return f"""
+WITH cent(j, c) AS (VALUES
+  {vals}
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nm
+  FROM embeddings
+),
+asg AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT v.vec_id, cent.j,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, cent.c) DESC, cent.j ASC
+           ) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM v a
+  JOIN asg aa ON a.vec_id = aa.vec_id
+  JOIN asg bb ON aa.cluster = bb.cluster
+  JOIN v b ON b.vec_id = bb.vec_id
+  WHERE a.vec_id < b.vec_id
+    AND round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) >= {t}
+)
+SELECT v.vec_id,
+       CAST(asg.cluster AS INTEGER) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM v
+JOIN asg ON v.vec_id = asg.vec_id
+LEFT JOIN dropped d ON v.vec_id = d.vec_id
+ORDER BY v.vec_id
+"""
+
+
 def png_stats_pattern_oracle_sql(
     chip_size_m: float,
     dataset: str = "patternpng-2020",

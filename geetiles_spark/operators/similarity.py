@@ -386,6 +386,80 @@ def ivf_assign(
     return embeddings.select(id_col, vec_col).mapInPandas(run, schema)
 
 
+def semantic_probe_centroids(k: int = 8, dim: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic unit centroids from a seeded RNG — data-independent,
+    so the DuckDB oracle embeds the SAME float64 literals
+    (``oracle_sql.semantic_dedup_oracle_sql``) and re-derives cluster
+    assignment in SQL.  Production callers pass k-means centroids
+    (:func:`ivf_centroids`) instead; the operator is centroid-agnostic."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((k, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid,
+    then WITHIN each cluster drop any vector whose cosine similarity
+    (rounded to 6 dp) to a lower-id cluster member reaches ``threshold``
+    — keep-first, the same rule as the exact/minhash dedup family.
+    Output ``(id_col, cluster, keep)``, one row per input vector.
+
+    Scale shape — the paper's own recipe made Spark-native: the CLUSTER is
+    the blocking unit, so similarity is O(sum s_c^2) FLOPs instead of
+    O(n^2), computed per cluster inside ``applyInPandas`` as a blocked
+    matmul (``block_rows`` bounds the live block at block_rows x s_c), and
+    only O(n) rows ever leave the stage — no candidate-pair
+    materialization, no pair shuffle (contrast :func:`cosine_pairs`,
+    which must EMIT the pairs).  Size ``len(centroids)`` so the expected
+    cluster (n / k) fits one task's memory: s_c = 65k doubles at dim 64 is
+    ~32 GB of matmul FLOPs but only ~33 MB resident with the default
+    block.  Assignment itself is one broadcast matmul per Arrow batch
+    (:func:`ivf_assign`)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    joined = embeddings.select(id_col, vec_col).join(assigned, id_col)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, embeddings.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def dedup_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.maximum(norms, 1e-30)
+        s = len(Xn)
+        keep = np.ones(s, dtype=bool)
+        for i0 in range(0, s, block_rows):
+            i1 = min(i0 + block_rows, s)
+            sims = np.round(Xn[i0:i1] @ Xn.T, 6)  # (i1-i0, s)
+            # row i may only be dropped by EARLIER members j < i
+            jj = np.arange(s)[None, :]
+            ii = np.arange(i0, i1)[:, None]
+            sims[jj >= ii] = -np.inf
+            keep[i0:i1] = sims.max(axis=1) < threshold
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"].astype("int32"),
+                "keep": keep,
+            }
+        )
+
+    return joined.groupBy("cluster").applyInPandas(dedup_cluster, schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -48,6 +48,7 @@ def _gate(spark, con, name):
         "pip_join",
         "knn_points",
         "geo_grid_tiles_sql_checked",
+        "doc_spans",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

@@ -130,6 +130,61 @@ class TestPackSequences:
         assert {r.bin for r in a} <= set(range(8))
 
 
+class TestSemanticDedup:
+    def test_keep_first_within_cluster(self, spark):
+        """Two tight groups near opposite centroids plus a singleton: the
+        lowest id of each near-dup group survives, cross-cluster
+        similarity never drops anything."""
+        from geetiles_spark.operators import similarity
+
+        C = np.array([[1.0, 0.0], [-1.0, 0.0]])
+        rows = [
+            (0, [1.0, 0.001]),      # cluster 0, kept (first)
+            (1, [1.0, 0.002]),      # cluster 0, dup of 0 -> dropped
+            (2, [0.9, 0.4]),        # cluster 0, similar-ish
+            (3, [-1.0, 0.001]),     # cluster 1, kept (first there)
+            (4, [-1.0, -0.002]),    # cluster 1, dup of 3 -> dropped
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r.vec_id: (r.cluster, r.keep) for r in
+               similarity.semantic_dedup(emb, C, threshold=0.99).collect()}
+        assert got[0] == (0, True)
+        assert got[1] == (0, False)
+        assert got[2][0] == 0 and got[2][1]  # cos(2,0) ~ 0.92 < 0.99
+        assert got[3] == (1, True)
+        assert got[4] == (1, False)
+
+    def test_matches_brute_rule_on_corpus(self, spark):
+        """Differential vs a numpy replay of the exact rule on the real
+        embeddings table."""
+        from geetiles_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        C = similarity.semantic_probe_centroids(4, 64, 11)
+        got = {r.vec_id: (r.cluster, r.keep) for r in
+               similarity.semantic_dedup(emb, C, threshold=0.35).collect()}
+        rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+        X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        ids = [r.vec_id for r in rows]
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        asg = np.argmax(Xn @ C.T, axis=1)
+        S = np.round(Xn @ Xn.T, 6)
+        for i, vid in enumerate(ids):
+            exp_keep = not any(
+                asg[j] == asg[i] and S[i, j] >= 0.35 for j in range(i)
+            )
+            assert got[vid] == (int(asg[i]), exp_keep), vid
+
+    def test_blocked_equals_unblocked(self, spark):
+        from geetiles_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        C = similarity.semantic_probe_centroids(4, 64, 11)
+        a = similarity.semantic_dedup(emb, C, 0.35, block_rows=7).orderBy("vec_id").collect()
+        b = similarity.semantic_dedup(emb, C, 0.35, block_rows=10**6).orderBy("vec_id").collect()
+        assert a == b
+
+
 class TestCatalogMaintenance:
     """VERDICT r4 #5: snapshot expiry + small-file compaction for the
     merge-heavy catalog tables (the IVF index being the archetype)."""
