@@ -1,15 +1,16 @@
 """Multimodal column operators: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` payloads with typed metadata.
 
-Images here are either the engine's own raw-chip format (C-order numpy
-bytes + height/width/bands/dtype columns — see sources/chips.py), decoded
-with a real ``np.frombuffer``, or REAL PNG streams decoded by the
+Images here are decoded for real in all three formats: the engine's own
+raw-chip format (C-order numpy bytes + height/width/bands/dtype columns —
+see sources/chips.py) via ``np.frombuffer``, PNG streams via the
 pure-stdlib codec in :mod:`..sources.png` (zlib inflate + scanline
-unfilter, all five PNG filters — no external library needed).  Only the
-codecs that genuinely require native libraries (JPEG's DCT, video) remain
-STUBBED behind ``NotImplementedError`` with the Spark-side plumbing
-(schema, batching, UDF signature, partitioning) fully real and tested on
-the decodable formats.
+unfilter, all five PNG filters), and baseline JPEG via the pure-numpy
+codec in :mod:`..sources.jpeg` (marker parse, stream-declared Huffman
+tables, dequant + orthonormal IDCT, JFIF color).  Only video decode
+remains STUBBED behind ``NotImplementedError`` (ffmpeg genuinely absent)
+with the Spark-side plumbing (schema, batching, UDF signature,
+partitioning) fully real and tested on the decodable formats.
 
 All operators are ``mapInPandas`` stages: Arrow moves the binary batches,
 numpy does the math, nothing is per-row Python beyond the ndarray reshape.
@@ -25,25 +26,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources import png
+from ..sources import jpeg, png
 from ..sources.chips import decode_payload
 
-_SUPPORTED_FORMATS = {"raw", "png"}
+_SUPPORTED_FORMATS = {"raw", "png", "jpeg"}
 
 
 def _decode(payload: bytes, fmt: str, dtype: str, h: int, w: int, bands: int) -> np.ndarray:
-    if fmt == "png":
-        arr = png.decode_png(payload)
+    if fmt in ("png", "jpeg"):
+        arr = (
+            png.decode_png(payload) if fmt == "png" else jpeg.decode_jpeg(payload)
+        )
         got_bands = 1 if arr.ndim == 2 else arr.shape[2]
         if arr.shape[0] != h or arr.shape[1] != w or got_bands != bands:
             raise ValueError(
-                f"PNG decoded to {arr.shape}, metadata says ({h},{w},{bands})"
+                f"{fmt} decoded to {arr.shape}, metadata says ({h},{w},{bands})"
             )
         return arr
     if fmt not in _SUPPORTED_FORMATS:
-        # STUB: DCT codecs (JPEG) / video need libjpeg/ffmpeg (absent here).
-        # In production this branch calls the codec; the surrounding
-        # plumbing (schema, batching, stats) is identical.
+        # STUB: video decode needs ffmpeg/pyav (absent here).  In
+        # production this branch calls the codec; the surrounding plumbing
+        # (schema, batching, stats) is identical.
         raise NotImplementedError(f"codec '{fmt}' not available in this environment")
     return decode_payload(payload, dtype, h, w, bands)
 
