@@ -184,21 +184,86 @@ def resize_chips(chips: DataFrame, out_h: int, out_w: int, fmt: str = "raw") -> 
     return chips.select(*cols).mapInPandas(run, RESIZE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_id", T.StringType()),
+        T.StructField("dataset", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
 def frame_sample(
     media: DataFrame, every_n: int, fmt: str = "video/raw"
 ) -> DataFrame:
-    """Frame sampling for video payloads — STUB.  The Spark plumbing (batch
-    iteration, schema, explode-to-frames shape) is the real design; the
-    decoder requires ffmpeg/pyav, absent in this container."""
+    """Frame sampling for video payloads: one output row per sampled frame
+    (frames 0, every_n, 2*every_n, ...), each a single-image payload the
+    rest of the image pipeline (stats/resize/decode) consumes directly.
+
+    REAL for ``video/raw`` — a clip is ``n_frames`` C-order raw frames
+    concatenated, so slicing frame k is one ``np.frombuffer`` view at
+    offset ``k * h * w * bands`` (times itemsize); no codec involved.
+    Compressed containers (mp4/vp9/...) raise ``NotImplementedError``:
+    inter-frame codecs genuinely need ffmpeg/pyav (absent here); in
+    production that branch seeks to the nearest keyframe and decodes
+    forward inside the same Arrow batch, with identical output schema.
+
+    ``media`` needs (tile_id, dataset, height, width, bands, dtype,
+    n_frames, payload)."""
+    if fmt != "video/raw":
+        def stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for _pdf in batches:
+                raise NotImplementedError(
+                    f"video container '{fmt}' requires pyav/ffmpeg (absent); "
+                    "raw frame-packed clips decode via fmt='video/raw'"
+                )
+
+        return media.mapInPandas(stub, FRAME_SCHEMA)
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decoding requires pyav/ffmpeg (not in this container); "
-                "plumbing is exercised via the raw-image path"
-            )
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frame_bytes = (
+                    int(r.height) * int(r.width) * int(r.bands)
+                    * np.dtype(r.dtype).itemsize
+                )
+                if len(r.payload) != int(r.n_frames) * frame_bytes:
+                    raise ValueError(
+                        f"clip {r.tile_id}: payload {len(r.payload)}B != "
+                        f"{r.n_frames} frames x {frame_bytes}B"
+                    )
+                for k in range(0, int(r.n_frames), every_n):
+                    rows.append(
+                        {
+                            "tile_id": r.tile_id,
+                            "dataset": r.dataset,
+                            "frame_idx": k,
+                            "height": int(r.height),
+                            "width": int(r.width),
+                            "bands": int(r.bands),
+                            "dtype": str(r.dtype),
+                            "payload": bytes(
+                                r.payload[k * frame_bytes : (k + 1) * frame_bytes]
+                            ),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return media.mapInPandas(run, RESIZE_SCHEMA)
+    cols = [
+        "tile_id", "dataset", "height", "width", "bands", "dtype",
+        "n_frames", "payload",
+    ]
+    return media.select(*cols).mapInPandas(run, FRAME_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = (

@@ -146,6 +146,77 @@ def test_roundtrip_never_crashes_and_bounds_error(h, w, seed):
     assert np.abs(d.astype(int) - g.astype(int)).max() <= 48  # q95 bound
 
 
+class TestFrameSample:
+    def _clips(self, spark, n_frames=7, h=4, w=5, bands=2):
+        import pandas as pd
+
+        rows = []
+        for t in range(3):
+            frames = np.arange(
+                n_frames * h * w * bands, dtype=np.uint8
+            ) + t
+            rows.append(
+                {
+                    "tile_id": f"c{t}", "dataset": "vidtest",
+                    "height": h, "width": w, "bands": bands,
+                    "dtype": "uint8", "n_frames": n_frames,
+                    "payload": frames.tobytes(),
+                }
+            )
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    def test_raw_video_sampling(self, spark):
+        from geetiles_spark.operators import multimodal
+
+        out = multimodal.frame_sample(self._clips(spark), every_n=3).collect()
+        # frames 0, 3, 6 per clip
+        assert sorted((r.tile_id, r.frame_idx) for r in out) == [
+            (f"c{t}", k) for t in range(3) for k in (0, 3, 6)
+        ]
+        fb = 4 * 5 * 2
+        for r in out:
+            exp = (np.arange(7 * fb, dtype=np.uint8) + int(r.tile_id[1]))[
+                r.frame_idx * fb : (r.frame_idx + 1) * fb
+            ]
+            assert bytes(r.payload) == exp.tobytes()
+
+    def test_sampled_frames_feed_image_stats(self, spark):
+        """Output rows are single-image chip rows: the image kernel
+        consumes them unchanged (status column added)."""
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.operators import multimodal
+
+        frames = multimodal.frame_sample(
+            self._clips(spark), every_n=2
+        ).withColumn("status", F.lit("ok"))
+        stats = multimodal.image_stats(frames.withColumn(
+            "tile_id", F.concat_ws("#", "tile_id", "frame_idx")
+        ), fmt="raw").collect()
+        assert len(stats) == 3 * 4  # frames 0,2,4,6
+
+    def test_length_mismatch_raises(self, spark):
+        import pandas as pd
+
+        from geetiles_spark.operators import multimodal
+
+        bad = spark.createDataFrame(pd.DataFrame([{
+            "tile_id": "x", "dataset": "d", "height": 4, "width": 4,
+            "bands": 1, "dtype": "uint8", "n_frames": 3,
+            "payload": b"\x00" * 17,
+        }]))
+        with pytest.raises(Exception, match="payload"):
+            multimodal.frame_sample(bad, every_n=1).collect()
+
+    def test_compressed_container_raises(self, spark):
+        from geetiles_spark.operators import multimodal
+
+        with pytest.raises(Exception, match="ffmpeg"):
+            multimodal.frame_sample(
+                self._clips(spark), every_n=2, fmt="video/mp4"
+            ).collect()
+
+
 class TestSparkPlumbing:
     def test_image_stats_over_jpeg(self, spark, tiles_box):
         """fmt='jpeg' through the multimodal kernel: stats of the decoded
