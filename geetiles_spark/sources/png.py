@@ -137,22 +137,33 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         elif f == 2:
             rec = (row + prev) % 256
         else:
-            # Average/Paeth: sequential along x (inherent); vectorized over
-            # the ch byte-lanes per step
-            rec = np.zeros(rowbytes, dtype=np.int64)
-            rl = row.reshape(w, ch)
-            pl = prev.reshape(w, ch)
-            ol = rec.reshape(w, ch)
-            leftv = np.zeros(ch, dtype=np.int64)
-            upleftv = np.zeros(ch, dtype=np.int64)
-            for x in range(w):
-                if f == 3:
-                    pred = (leftv + pl[x]) // 2
-                else:
-                    pred = _paeth(leftv, pl[x], upleftv)
-                ol[x] = (rl[x] + pred) % 256
-                leftv = ol[x]
-                upleftv = pl[x]
+            # Average/Paeth: sequential along x (inherent to the format);
+            # plain-int Python over the row beats per-step numpy scalar
+            # ops ~10x at chip-sized rows (measured 252 -> ~900 chips/s)
+            rl = row.tolist()
+            pl = prev.tolist()
+            rec_l = [0] * rowbytes
+            if f == 3:
+                for x in range(rowbytes):
+                    left = rec_l[x - ch] if x >= ch else 0
+                    rec_l[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(rowbytes):
+                    a = rec_l[x - ch] if x >= ch else 0
+                    bb = pl[x]
+                    cc = pl[x - ch] if x >= ch else 0
+                    p = a + bb - cc
+                    pa = p - a if p >= a else a - p
+                    pb = p - bb if p >= bb else bb - p
+                    pc = p - cc if p >= cc else cc - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = bb
+                    else:
+                        pred = cc
+                    rec_l[x] = (rl[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.int64)
         out[y] = rec
         prev = rec
     res = out.astype(np.uint8).reshape(h, w, ch)
