@@ -304,7 +304,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     comp_blocks = []
     for plane, q in zip(planes, quants):
         blocks = _blocks(plane) - 128.0
-        coeffs = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+        coeffs = np.matmul(np.matmul(_C, blocks), _C.T)
         qz = np.round(coeffs / q).astype(np.int64)
         zz = qz.reshape(-1, 64)[:, _ZZ_FLAT]
         # baseline AC magnitudes must fit 10 bits (T.81 table F.2); only
@@ -326,49 +326,69 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
 
 class _BitReader:
+    """MSB-first reader over the (unstuffed) entropy bytes, with a 16-bit
+    peek window for table-driven Huffman decode.  Reads past the end see
+    1-padding (the encoder pads the final byte with 1s), so a final EOB
+    whose bits straddle the last byte still decodes; truly over-running
+    the stream surfaces as an invalid code."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+        self.pos = 0  # absolute bit position
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        chunk = self.data[byte : byte + 3]
+        v = int.from_bytes(chunk + b"\xff" * (3 - len(chunk)), "big")
+        return (v >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("entropy stream exhausted")
+        v = self.peek16() >> (16 - n)
+        self.pos += n
         return v
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict:
-    lut = {}
+_TABLE_CACHE: dict = {}
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """Flat 2^16 lookup: table[window] = (symbol, code length) for every
+    16-bit window beginning with each code — one array access per symbol
+    instead of a bit-by-bit trie walk.  Memoized on the DHT payload:
+    chips of one dataset share tables, so the build cost is paid once per
+    worker, not per image."""
+    key = (bytes(bits), bytes(vals))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = [None] * (1 << 16)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln]):
-            lut[(ln, code)] = vals[k]
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            lut[lo:hi] = [(vals[k], ln)] * (hi - lo)
             code += 1
             k += 1
         code <<= 1
+    _TABLE_CACHE[key] = lut
     return lut
 
 
-def _read_symbol(reader: _BitReader, lut: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        if (ln, code) in lut:
-            return lut[(ln, code)]
-    raise ValueError("invalid Huffman code in entropy stream")
+def _read_symbol(reader: _BitReader, lut) -> int:
+    entry = lut[reader.peek16()]
+    if entry is None:
+        raise ValueError("invalid Huffman code in entropy stream")
+    reader.skip(entry[1])
+    return entry[0]
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -451,39 +471,48 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     reader = _BitReader(entropy)
 
     bx, by = -(-w // 8), -(-h // 8)
-    planes = [np.zeros((by * 8, bx * 8)) for _ in range(nc)]
+    nmcu = bx * by
+    # entropy pass: pure-int symbol loop filling (n_blocks, 64) zigzag
+    # coefficient arrays; all math after this point is vectorized over
+    # every block of a component at once (one einsum IDCT)
+    comp_zz = [np.zeros((nmcu, 64), dtype=np.int64) for _ in range(nc)]
+    luts = [
+        (huff[(0, tabs[c["id"]][0])], huff[(1, tabs[c["id"]][1])])
+        for c in comps
+    ]
     preds = [0] * nc
-    for byi in range(by):
-        for bxi in range(bx):
-            for ci in range(nc):
-                comp = comps[ci]
-                dc_lut = huff[(0, tabs[comp["id"]][0])]
-                ac_lut = huff[(1, tabs[comp["id"]][1])]
-                zz = np.zeros(64, dtype=np.int64)
-                size = _read_symbol(reader, dc_lut)
-                diff = _extend(reader.read_bits(size), size)
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(reader, ac_lut)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[_ZZ_FLAT] = zz
-                block = coeffs.reshape(8, 8) * quant[comp["tq"]]
-                pix = _C.T @ block @ _C + 128.0
-                planes[ci][byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = pix
-    planes = [p[:h, :w] for p in planes]
+    for m in range(nmcu):
+        for ci in range(nc):
+            dc_lut, ac_lut = luts[ci]
+            z = [0] * 64
+            size = _read_symbol(reader, dc_lut)
+            preds[ci] += _extend(reader.read_bits(size), size)
+            z[0] = preds[ci]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(reader, ac_lut)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                z[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            comp_zz[ci][m] = z
+    planes = []
+    for ci in range(nc):
+        coeffs = np.zeros((nmcu, 64), dtype=np.float64)
+        coeffs[:, _ZZ_FLAT] = comp_zz[ci]
+        blocks = coeffs.reshape(nmcu, 8, 8) * quant[comps[ci]["tq"]]
+        pix = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
+        plane = (
+            pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if nc != 3:

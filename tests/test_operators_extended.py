@@ -315,8 +315,16 @@ class TestMultimodal:
         assert len(arr) == 25 * 25
 
     def test_unknown_codec_raises(self, spark, tiles_box):
+        # jpeg/png are REAL decode branches since r5 — webp still isn't
         ch = chipsrc.generate_chips(tiles_box.limit(1), "esaworldcover-2020")
         with pytest.raises(Exception, match="codec"):
+            multimodal.image_stats(ch, fmt="webp").collect()
+
+    def test_non_jpeg_bytes_fail_cleanly(self, spark, tiles_box):
+        # raw chip payloads are not JPEG streams: the decode branch must
+        # surface a parse error, not garbage stats
+        ch = chipsrc.generate_chips(tiles_box.limit(1), "esaworldcover-2020")
+        with pytest.raises(Exception, match="SOI"):
             multimodal.image_stats(ch, fmt="jpeg").collect()
 
 
