@@ -237,6 +237,75 @@ def stream_media_refs(
     return int(sum(p["numInputRows"] for p in q.recentProgress))
 
 
+def stream_chip_zonal(
+    spark: SparkSession,
+    tiles_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    dataset: str = "patternlabels-2020",
+    table: str = "zonal_props",
+    max_files_per_trigger: int = 64,
+) -> int:
+    """Streaming geo-ingest rollup: tile rows arrive as files -> synthetic
+    chip acquisition -> zonal label proportions -> idempotent MERGE into
+    the snapshot catalog.  The streaming twin of the batch
+    ``generate_chips`` + ``compute_proportions`` + catalog pipeline, with
+    ZERO operator code forked for streaming.
+
+    ``foreachBatch`` is the Spark-native sink for transactional MERGE
+    targets: each micro-batch is a plain batch DataFrame, so the exact
+    batch operators run on it unchanged, and the commit goes through
+    ``Catalog.merge_upsert`` keyed on tile_id.  The checkpoint gives
+    at-least-once batch replay after a crash; the keyed MERGE makes the
+    result exactly-once anyway (a re-delivered batch upserts identical
+    per-tile rows — per-tile proportions don't depend on which batch a
+    tile rode in).  This is the same replay-safety contract as the
+    reference's ``skip_if_exists`` download loop (``gee.py:267-274``),
+    expressed as snapshot MERGE instead of per-file existence checks.
+
+    Scale note: the jar-free catalog's MERGE is copy-on-write at TABLE
+    granularity (a new full snapshot per commit), so size
+    ``max_files_per_trigger`` for few, large batches; production Iceberg
+    MERGE rewrites only the matched files with the identical semantics.
+
+    Returns tiles processed this pass (0 when nothing new).
+    """
+    from ..operators import zonal as zonalop
+    from ..sources import chips as chipsrc
+
+    stream = (
+        spark.readStream.schema(
+            "row_idx long, tile_id string, geometry_wkb binary, "
+            "minx double, miny double, maxx double, maxy double, "
+            "area_km2 double"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(tiles_dir)
+    )
+    processed = [0]
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        rows = batch_df.count()
+        if rows == 0:
+            return
+        ch = chipsrc.generate_chips(batch_df, dataset)
+        props = zonalop.compute_proportions(batch_df, ch, dataset)
+        catalog.merge_upsert(
+            spark, props, table, keys=["tile_id"],
+            meta={"op": "stream_zonal", "dataset": dataset},
+        )
+        processed[0] += rows
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return processed[0]
+
+
 class _AppendedListener(StreamingQueryListener):
     """StreamingQueryListener accumulating the ``appended`` observed metric
     per query id — exact regardless of micro-batch count, unlike summing

@@ -286,6 +286,71 @@ class TestCatalogMaintenance:
         assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(100))
 
 
+class TestStreamChipZonal:
+    def test_multi_trigger_matches_batch_and_is_idempotent(
+        self, spark, tiles_box, tmp_path
+    ):
+        """Tiles streamed one file per trigger must produce the identical
+        catalog table as the batch pipeline over all tiles; re-running
+        with no new files changes nothing; late tiles merge in."""
+        from geetiles_spark.catalog import Catalog
+        from geetiles_spark.operators import zonal as zonalop
+        from geetiles_spark.sources import chips as chipsrc
+        from geetiles_spark.streaming import ingest
+
+        tiles = tiles_box.collect()
+        assert len(tiles) >= 6
+        tdir = tmp_path / "tiles"
+        tdir.mkdir()
+        early, late = tiles[:-2], tiles[-2:]
+        # three files -> three micro-batches at maxFilesPerTrigger=1
+        third = -(-len(early) // 3)
+        for i in range(0, len(early), third):
+            spark.createDataFrame(
+                early[i : i + third], schema=tiles_box.schema
+            ).coalesce(1).write.mode("append").parquet(str(tdir))
+        cat = Catalog(str(tmp_path / "cat"))
+        ck = str(tmp_path / "ck")
+
+        n = ingest.stream_chip_zonal(
+            spark, str(tdir), cat, ck, max_files_per_trigger=1
+        )
+        assert n == len(early)
+
+        def table():
+            return {
+                r.tile_id: r.props
+                for r in cat.read(spark, "zonal_props").collect()
+            }
+
+        early_df = spark.createDataFrame(early, schema=tiles_box.schema)
+        batch_early = {
+            r.tile_id: r.props
+            for r in zonalop.compute_proportions(
+                early_df,
+                chipsrc.generate_chips(early_df, "patternlabels-2020"),
+                "patternlabels-2020",
+            ).collect()
+        }
+        assert table() == batch_early
+
+        # restart with nothing new: no rows processed, table unchanged
+        snaps_before = len(cat.snapshots("zonal_props"))
+        assert ingest.stream_chip_zonal(spark, str(tdir), cat, ck) == 0
+        assert len(cat.snapshots("zonal_props")) == snaps_before
+        assert table() == batch_early
+
+        # late tiles arrive: merged in, early rows untouched
+        spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(
+            str(tdir)
+        )
+        assert ingest.stream_chip_zonal(spark, str(tdir), cat, ck) == len(late)
+        t = table()
+        assert len(t) == len(tiles)
+        for k, v in batch_early.items():
+            assert t[k] == v
+
+
 class TestStreamingAppendedCount:
     def test_count_equals_sink_rows_across_many_batches(self, spark, tmp_path):
         """The appended count now comes from a StreamingQueryListener —
