@@ -963,6 +963,46 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.05}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (DoReMi-style): per-source keep
+    fractions via the same md5-threshold predicate as stratified_sample,
+    default 0.2 for unlisted sources; rolled up per stratum.  The SQL twin
+    replays the CASE-selected thresholds literally."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = text.mixture_sample(
+        docs, _MIXTURE_FRACTIONS, default_fraction=0.2, seed=7
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+def _mixture_sample_sql() -> str:
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('7/' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(f * 1_000_000)}"
+        for s, f in sorted(_MIXTURE_FRACTIONS.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT source, n_chars, ({hv}) % 1000000 AS hv,
+         CASE {cases} ELSE 200000 END AS thr
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM h WHERE hv < thr
+GROUP BY source ORDER BY source
+"""
+
+
 _STRATIFIED_SAMPLE_SQL = """
 WITH h AS (
   SELECT source, n_chars,
@@ -1807,6 +1847,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grid_tiles_sql_checked": _q_geo_grid_sql_checked,
         "geo_random_partitions": _q_geo_random_partitions,
         "doc_spans": _q_doc_spans,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -1818,6 +1859,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "knn_points": _knn_sql(),
         "geo_grid_tiles_sql_checked": _grid_oracle(),
         "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
+        "mixture_sample": _mixture_sample_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

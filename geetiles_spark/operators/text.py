@@ -291,6 +291,41 @@ def pack_sequences(
     return staged.groupBy("bin").applyInPandas(pack, out_schema)
 
 
+def mixture_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Domain-mixture reweighting — the DoReMi/Pile-style training-data
+    primitive: keep a DIFFERENT deterministic fraction of each domain
+    (``fractions[stratum]``; strata absent from the dict get
+    ``default_fraction``).  Same md5-threshold predicate as
+    :func:`stratified_sample` — partition-independent, reproducible across
+    engines, pushable — with the per-stratum threshold selected by a CASE
+    over ``stratum_col``, so the whole filter stays one whole-stage-codegen
+    expression and a SQL twin replays it literally.  A doc kept at
+    fraction f stays kept at any f' > f (nested samples: thresholds grow
+    monotonically), which is what you want when re-tuning mixture weights
+    between runs."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("/", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    hv = F.pmod(h, F.lit(1_000_000))
+    thresh = F.lit(int(default_fraction * 1_000_000))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * 1_000_000))
+        ).otherwise(thresh)
+    return docs.filter(hv < thresh)
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,

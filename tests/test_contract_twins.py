@@ -49,6 +49,7 @@ def _gate(spark, con, name):
         "knn_points",
         "geo_grid_tiles_sql_checked",
         "doc_spans",
+        "mixture_sample",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

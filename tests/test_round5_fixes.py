@@ -130,6 +130,29 @@ class TestPackSequences:
         assert {r.bin for r in a} <= set(range(8))
 
 
+class TestMixtureSample:
+    def test_nested_samples_and_defaults(self, spark):
+        """Raising a stratum's fraction only ADDS docs (nested samples);
+        unlisted strata use default_fraction; fraction 0 drops a stratum."""
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        lo = {r.doc_id for r in textop.mixture_sample(
+            docs, {"src0": 0.2, "src2": 0.0}, default_fraction=0.3).collect()}
+        hi = {r.doc_id for r in textop.mixture_sample(
+            docs, {"src0": 0.7, "src2": 0.0}, default_fraction=0.3).collect()}
+        assert lo <= hi
+        kept_src2 = docs.filter("source = 'src2'").join(
+            spark.createDataFrame([(i,) for i in hi], "doc_id long"), "doc_id"
+        ).count()
+        assert kept_src2 == 0
+        # determinism across partitioning
+        re = {r.doc_id for r in textop.mixture_sample(
+            docs.repartition(13), {"src0": 0.2, "src2": 0.0},
+            default_fraction=0.3).collect()}
+        assert re == lo
+
+
 class TestSemanticDedup:
     def test_keep_first_within_cluster(self, spark):
         """Two tight groups near opposite centroids plus a singleton: the
