@@ -414,6 +414,23 @@ def _q_image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.band_stats(chips, fmt="png").orderBy("tile_id", "band")
 
 
+def _q_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear chip resize (order-1, DL-preprocessing mode) over REAL PNG
+    payloads: decode -> integer-exact 4-tap blend (half-pixel centers,
+    edge clamp, round-half-up) -> per-band stats; the DuckDB twin replays
+    the identical integer arithmetic over the closed-form pattern
+    (oracle_sql.bilinear_png_stats_oracle_sql) so every resized byte is
+    inside the value hash."""
+    from geetiles_spark.sources import png as pngsrc
+
+    tiles = _fixture_tiles(spark)
+    chips = pngsrc.generate_png_chips(tiles, "patternpng-2020")
+    resized = multimodal.resize_chips(
+        chips, 10, 10, fmt="png", mode="bilinear"
+    ).withColumn("status", F.lit("ok"))
+    return multimodal.band_stats(resized, fmt="raw").orderBy("tile_id", "band")
+
+
 def _q_geo_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image stats over the SQL-expressible pattern image def — full DuckDB
     oracle (oracle_sql.chip_stats_pattern_oracle_sql)."""
@@ -1848,6 +1865,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_random_partitions": _q_geo_random_partitions,
         "doc_spans": _q_doc_spans,
         "mixture_sample": _q_mixture_sample,
+        "resize_bilinear_stats": _q_resize_bilinear_stats,
     }
 
 
@@ -1860,6 +1878,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "geo_grid_tiles_sql_checked": _grid_oracle(),
         "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
         "mixture_sample": _mixture_sample_sql(),
+        "resize_bilinear_stats": _oracle_mod().bilinear_png_stats_oracle_sql(500),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

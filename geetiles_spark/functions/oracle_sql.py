@@ -966,6 +966,77 @@ ORDER BY tile_id, band
 """
 
 
+def bilinear_png_stats_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternpng-2020",
+    height: int = 24,
+    width: int = 24,
+    bands: int = 3,
+    out_h: int = 10,
+    out_w: int = 10,
+) -> str:
+    """Bilinear-resize oracle: the engine resizes in EXACT integer
+    arithmetic (``multimodal.bilinear_resize_uint8`` — numerators over the
+    2*out dims denominator, round-half-up), so this SQL replays the
+    identical integer ops over the closed-form PNG pattern pixels and
+    re-derives every resized byte, then the per-band stats.  Checks
+    PNG decode + half-pixel-center/edge-clamp coordinate math + the
+    4-tap blend end to end."""
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "blseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    deny, denx = 2 * out_h, 2 * out_w
+    D = deny * denx
+
+    def v(y: str, x: str) -> str:
+        return (
+            f"((seed + 7919 * (({y}) * {width} + ({x})) + 104729 * b.b) % 256)"
+        )
+
+    blend = (
+        f"((({deny} - yc.fy) * (({denx} - xc.fx) * {v('yc.y0', 'xc.x0')}"
+        f" + xc.fx * {v('yc.y0', 'xc.x1')})"
+        f" + yc.fy * (({denx} - xc.fx) * {v('yc.y1', 'xc.x0')}"
+        f" + xc.fx * {v('yc.y1', 'xc.x1')})) + {D // 2}) // {D}"
+    )
+    return f"""
+WITH {body},
+{seed.render()},
+yc0 AS (
+  SELECT oy,
+    CASE WHEN ty >= {(height - 1) * deny} THEN {height - 1}
+         ELSE ty // {deny} END AS y0,
+    CASE WHEN ty >= {(height - 1) * deny} THEN 0 ELSE ty % {deny} END AS fy
+  FROM (SELECT g.oy AS oy, GREATEST((2 * g.oy + 1) * {height} - {out_h}, 0) AS ty
+        FROM generate_series(0, {out_h - 1}) g(oy))
+),
+yc AS (SELECT oy, y0, LEAST(y0 + 1, {height - 1}) AS y1, fy FROM yc0),
+xc0 AS (
+  SELECT ox,
+    CASE WHEN tx >= {(width - 1) * denx} THEN {width - 1}
+         ELSE tx // {denx} END AS x0,
+    CASE WHEN tx >= {(width - 1) * denx} THEN 0 ELSE tx % {denx} END AS fx
+  FROM (SELECT g.ox AS ox, GREATEST((2 * g.ox + 1) * {width} - {out_w}, 0) AS tx
+        FROM generate_series(0, {out_w - 1}) g(ox))
+),
+xc AS (SELECT ox, x0, LEAST(x0 + 1, {width - 1}) AS x1, fx FROM xc0),
+px AS (
+  SELECT s.tile_id, b.b AS band, {blend} AS v
+  FROM {seed.last()} s, yc, xc, generate_series(0, {bands - 1}) b(b)
+)
+SELECT tile_id,
+       '{dataset}' AS dataset,
+       CAST(band AS INTEGER) AS band,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(min(v) AS BIGINT) AS min_val,
+       CAST(max(v) AS BIGINT) AS max_val,
+       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM px
+GROUP BY tile_id, band
+ORDER BY tile_id, band
+"""
+
+
 def s2_cloud_median_oracle_sql(
     chip_size_m: float,
     dataset: str = "s2cloudmedian-2020",

@@ -153,9 +153,63 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def resize_chips(chips: DataFrame, out_h: int, out_w: int, fmt: str = "raw") -> DataFrame:
-    """Nearest-neighbor resize (order-0, the reference's mosaic resize mode,
-    ``cmds.py:614`` ``resize(..., order=0)``) — pure numpy index sampling."""
+def bilinear_resize_uint8(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Order-1 resize in EXACT integer arithmetic (half-pixel-center
+    convention, edge clamp, round-half-up): source coordinate
+    sy = ((2i+1)*h - out_h) / (2*out_h), weights kept as integer
+    numerators over the denominator 2*out_h x 2*out_w — so a SQL oracle
+    replays every output byte with the literally identical integer ops
+    (float bilinear would diverge in the last ulp between engines)."""
+    h, w = arr.shape[:2]
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    deny, denx = 2 * out_h, 2 * out_w
+
+    def split(t: np.ndarray, den: int, n: int):
+        t = np.maximum(t, 0)
+        i0 = t // den
+        f = t - i0 * den
+        over = i0 >= n - 1
+        i0 = np.where(over, n - 1, i0)
+        f = np.where(over, 0, f)
+        return i0, np.minimum(i0 + 1, n - 1), f
+
+    y0, y1, fy = split(
+        (2 * np.arange(out_h, dtype=np.int64) + 1) * h - out_h, deny, h
+    )
+    x0, x1, fx = split(
+        (2 * np.arange(out_w, dtype=np.int64) + 1) * w - out_w, denx, w
+    )
+    a = arr.astype(np.int64)
+    p00 = a[y0][:, x0]
+    p01 = a[y0][:, x1]
+    p10 = a[y1][:, x0]
+    p11 = a[y1][:, x1]
+    fyc = fy[:, None, None]
+    fxc = fx[None, :, None]
+    num = (deny - fyc) * ((denx - fxc) * p00 + fxc * p01) + fyc * (
+        (denx - fxc) * p10 + fxc * p11
+    )
+    D = deny * denx
+    out = ((num + D // 2) // D).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_chips(
+    chips: DataFrame,
+    out_h: int,
+    out_w: int,
+    fmt: str = "raw",
+    mode: str = "nearest",
+) -> DataFrame:
+    """Chip resize: ``mode='nearest'`` (order-0, the reference's mosaic
+    resize mode, ``cmds.py:614`` ``resize(..., order=0)``, pure index
+    sampling) or ``mode='bilinear'`` (order-1 in exact integer arithmetic
+    — see :func:`bilinear_resize_uint8` — the DL-preprocessing resize,
+    SQL-oracle-checkable byte for byte)."""
+    if mode not in ("nearest", "bilinear"):
+        raise ValueError(f"mode must be nearest|bilinear, got {mode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,9 +218,14 @@ def resize_chips(chips: DataFrame, out_h: int, out_w: int, fmt: str = "raw") -> 
                 if r.status != "ok":
                     continue
                 arr = _decode(r.payload, fmt, r.dtype, r.height, r.width, r.bands)
-                yi = (np.arange(out_h) * r.height // out_h).astype(np.int64)
-                xi = (np.arange(out_w) * r.width // out_w).astype(np.int64)
-                out = arr[np.ix_(yi, xi)] if arr.ndim == 2 else arr[np.ix_(yi, xi)]
+                if mode == "bilinear":
+                    out = bilinear_resize_uint8(
+                        arr.astype(np.uint8), out_h, out_w
+                    )
+                else:
+                    yi = (np.arange(out_h) * r.height // out_h).astype(np.int64)
+                    xi = (np.arange(out_w) * r.width // out_w).astype(np.int64)
+                    out = arr[np.ix_(yi, xi)] if arr.ndim == 2 else arr[np.ix_(yi, xi)]
                 rows.append(
                     {
                         "tile_id": r.tile_id,

@@ -50,6 +50,7 @@ def _gate(spark, con, name):
         "geo_grid_tiles_sql_checked",
         "doc_spans",
         "mixture_sample",
+        "resize_bilinear_stats",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

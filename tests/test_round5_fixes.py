@@ -130,6 +130,46 @@ class TestPackSequences:
         assert {r.bin for r in a} <= set(range(8))
 
 
+class TestBilinearResize:
+    def _float_ref(self, arr, out_h, out_w):
+        h, w = arr.shape[:2]
+        a = arr.astype(np.float64)
+        sy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+        sx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+        y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (sy - y0)[:, None]
+        fx = (sx - x0)[None, :]
+        return (1 - fy) * ((1 - fx) * a[y0][:, x0] + fx * a[y0][:, x1]) + fy * (
+            (1 - fx) * a[y1][:, x0] + fx * a[y1][:, x1]
+        )
+
+    def test_matches_float_reference_within_rounding(self):
+        from geetiles_spark.operators.multimodal import bilinear_resize_uint8
+
+        rng = np.random.default_rng(17)
+        for (h, w, oh, ow) in [(24, 24, 10, 10), (8, 8, 16, 16), (13, 7, 5, 11)]:
+            arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            got = bilinear_resize_uint8(arr, oh, ow).astype(np.float64)
+            ref = self._float_ref(arr, oh, ow)
+            assert np.abs(got - ref).max() <= 0.5 + 1e-9
+
+    def test_identity_resize(self):
+        from geetiles_spark.operators.multimodal import bilinear_resize_uint8
+
+        rng = np.random.default_rng(19)
+        arr = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        assert np.array_equal(bilinear_resize_uint8(arr, 12, 9), arr)
+
+    def test_constant_image_stays_constant(self):
+        from geetiles_spark.operators.multimodal import bilinear_resize_uint8
+
+        arr = np.full((16, 16), 201, dtype=np.uint8)
+        assert (bilinear_resize_uint8(arr, 7, 29) == 201).all()
+
+
 class TestMixtureSample:
     def test_nested_samples_and_defaults(self, spark):
         """Raising a stratum's fraction only ADDS docs (nested samples);
