@@ -431,6 +431,17 @@ def _q_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.band_stats(resized, fmt="raw").orderBy("tile_id", "band")
 
 
+def _q_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer audio autocorrelation at lags (1,2,4,8) over the
+    closed-form PCM clips — the periodicity feature an FFT estimates, in
+    int64 so the DuckDB twin reproduces every sum bit-for-bit."""
+    from geetiles_spark.sources import audio as audiosrc
+
+    tiles = _fixture_tiles(spark)
+    clips = audiosrc.generate_audio(tiles, "patternpcm-2020")
+    return multimodal.audio_autocorr(clips).orderBy("tile_id", "lag")
+
+
 def _q_geo_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image stats over the SQL-expressible pattern image def — full DuckDB
     oracle (oracle_sql.chip_stats_pattern_oracle_sql)."""
@@ -1866,6 +1877,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans": _q_doc_spans,
         "mixture_sample": _q_mixture_sample,
         "resize_bilinear_stats": _q_resize_bilinear_stats,
+        "audio_autocorr": _q_audio_autocorr,
     }
 
 
@@ -1879,6 +1891,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_spans": _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020"),
         "mixture_sample": _mixture_sample_sql(),
         "resize_bilinear_stats": _oracle_mod().bilinear_png_stats_oracle_sql(500),
+        "audio_autocorr": _oracle_mod().audio_autocorr_oracle_sql(500),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -923,6 +923,40 @@ ORDER BY v.vec_id
 """
 
 
+def audio_autocorr_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternpcm-2020",
+    n_samples: int = 1600,
+    lags: tuple[int, ...] = (1, 2, 4, 8),
+) -> str:
+    """Audio autocorrelation oracle: both v(i) and v(i+L) come from the
+    closed-form waveform, so the lag product needs NO self-join — one
+    generate_series per (tile, lag), exact BIGINT sums."""
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "acseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    lag_vals = ", ".join(f"({lg})" for lg in lags)
+
+    def v(i: str) -> str:
+        return f"(((seed + 7919 * ({i})) % 65536) - 32768)"
+
+    return f"""
+WITH {body},
+{seed.render()},
+lags(lag) AS (VALUES {lag_vals}),
+prods AS (
+  SELECT tile_id, lags.lag AS lag,
+         {v('g.i')} * {v('g.i + lags.lag')} AS p
+  FROM {seed.last()}, lags, generate_series(0, {n_samples - 1}) g(i)
+  WHERE g.i + lags.lag <= {n_samples - 1}
+)
+SELECT tile_id, CAST(lag AS INTEGER) AS lag, CAST(sum(p) AS BIGINT) AS acorr
+FROM prods
+GROUP BY tile_id, lag
+ORDER BY tile_id, lag
+"""
+
+
 def png_stats_pattern_oracle_sql(
     chip_size_m: float,
     dataset: str = "patternpng-2020",

@@ -331,6 +331,39 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
+AUDIO_AUTOCORR_SCHEMA = "tile_id string, lag int, acorr long"
+
+
+def audio_autocorr(audio: DataFrame, lags: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """Spectral-shape features as EXACT integers: raw autocorrelation
+    ``sum(x[i] * x[i+L])`` of the int16 PCM samples at fixed lags — the
+    periodicity signal an FFT would estimate, but in int64 arithmetic a
+    SQL oracle reproduces bit-for-bit (float FFTs diverge in the last ulp
+    between engines).  One row per (clip, lag)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.frombuffer(r.payload, dtype="<i2").astype(np.int64)
+                for lag in lags:
+                    rows.append(
+                        {
+                            "tile_id": r.tile_id,
+                            "lag": lag,
+                            "acorr": int(np.sum(x[:-lag] * x[lag:]))
+                            if lag < len(x)
+                            else 0,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return audio.select("tile_id", "payload").mapInPandas(
+        run, AUDIO_AUTOCORR_SCHEMA
+    )
+
+
 def audio_stats(audio: DataFrame) -> DataFrame:
     """REAL (non-stub) audio decode + reduce: raw PCM int16-LE payloads need
     no codec library — ``np.frombuffer`` per clip, then exact-integer

@@ -51,6 +51,7 @@ def _gate(spark, con, name):
         "doc_spans",
         "mixture_sample",
         "resize_bilinear_stats",
+        "audio_autocorr",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):
