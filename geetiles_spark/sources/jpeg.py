@@ -396,9 +396,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     Supports what a conformant baseline stream with 1x1 sampling carries:
     stream-declared Huffman + quant tables, interleaved MCUs, byte
-    stuffing.  Progressive / subsampled / arithmetic / restart-interval
-    streams raise ``NotImplementedError``.
+    stuffing.  Error contract (fuzz-pinned in tests): ``ValueError`` on
+    ANY corruption — struct/index internals never leak — and
+    ``NotImplementedError`` for progressive / subsampled / arithmetic /
+    restart-interval streams.
     """
+    try:
+        return _decode_jpeg_impl(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

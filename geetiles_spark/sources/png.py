@@ -174,10 +174,20 @@ def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte stream to uint8 (h, w) or (h, w, channels).
 
     CRC-checks every chunk, concatenates multi-IDAT streams, inflates,
-    unfilters.  Raises ``ValueError`` on corruption and
+    unfilters.  Error contract (fuzz-pinned in tests): ``ValueError`` on
+    ANY corruption — zlib/struct internals never leak — and
     ``NotImplementedError`` on out-of-scope features (palette, interlace,
-    16-bit) so callers can distinguish bad bytes from unsupported ones.
+    16-bit), so callers can distinguish bad bytes from unsupported ones.
     """
+    try:
+        return _decode_png_impl(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (zlib.error, struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt PNG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_impl(data: bytes) -> np.ndarray:
     if bytes(data[:8]) != SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8

@@ -132,6 +132,27 @@ class TestCodec:
             jpeg.encode_jpeg(g.astype(np.int32))
 
 
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_decoder_error_contract_under_mutation(seed):
+    """Byte flips / truncations decode or raise ValueError /
+    NotImplementedError — struct/index internals never leak."""
+    import random
+
+    rng = random.Random(seed)
+    base = bytearray(jpeg.encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    b = bytearray(base)
+    if rng.random() < 0.5:
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+    else:
+        b = b[: rng.randrange(len(b))]
+    try:
+        jpeg.decode_jpeg(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     h=st.integers(1, 20),

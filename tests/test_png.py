@@ -193,6 +193,28 @@ class TestErrors:
         assert np.array_equal(png.decode_png(injected), a)
 
 
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31))
+def test_decoder_error_contract_under_mutation(seed):
+    """Random byte flips and truncations of a valid stream must surface as
+    ValueError/NotImplementedError (or decode) — zlib/struct internals
+    never leak to callers."""
+    import random
+
+    rng = random.Random(seed)
+    base = bytearray(png.encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    b = bytearray(base)
+    if rng.random() < 0.5:
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+    else:
+        b = b[: rng.randrange(len(b))]
+    try:
+        png.decode_png(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     h=st.integers(1, 12),
