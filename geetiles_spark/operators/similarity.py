@@ -646,16 +646,29 @@ def ivf_write_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> np.ndarray:
     """Materialize the IVF index: vectors written partitionBy(cluster), so a
     probe reads ONLY its nprobe directories (partition pruning at scan
     time — the 100-TB path: scan fraction = nprobe / n_clusters with zero
     shuffle at query time).  Returns the centroid matrix (caller persists it
-    next to the index; it is the only query-time driver state)."""
+    next to the index; it is the only query-time driver state).
+
+    The write shuffles on (cluster, salt) first so each cluster directory
+    holds at most ``files_per_cluster`` files — without it every upstream
+    task writes its own sliver into every directory (measured: 32
+    files/cluster at 32 shuffle partitions), and probe-time read
+    amplification scales with task count instead of data.  Raise
+    ``files_per_cluster`` when single-cluster row counts exceed one
+    task's comfortable write size."""
     C = ivf_centroids(embeddings, n_clusters, seed, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    rows = embeddings.join(assigned, id_col)
+    salt = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string")), F.lit(max(files_per_cluster, 1))
+    )
     (
-        embeddings.join(assigned, id_col)
+        rows.repartition(F.col("cluster"), salt)
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(path)
