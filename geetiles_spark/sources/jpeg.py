@@ -14,10 +14,12 @@ Design choices for a dependency-free, verifiable codec:
   T.81 Annex-K defaults — any conformant decoder reads the tables from
   the stream, ours included.  Compression is a little worse than tuned
   tables; correctness is unaffected.
-* 8-bit baseline only, grayscale or 4:4:4 YCbCr (JFIF matrices).
-  Progressive scans, subsampled chroma, arithmetic coding and restart
-  markers raise ``NotImplementedError`` (scope, not stubs: the decode
-  path for everything the encoder can produce is real).
+* 8-bit baseline only, grayscale or YCbCr (JFIF matrices) at 4:4:4 or
+  4:2:0 (the dominant real-world layout: Y carries 4 blocks per MCU,
+  chroma box-averaged 2x2 on encode and sample-repeated on decode).
+  Progressive scans, arithmetic coding, restart markers, and sampling
+  factors beyond 2 raise ``NotImplementedError`` (scope, not stubs: the
+  decode path for everything the encoder can produce is real).
 * JPEG is LOSSY, so unlike PNG there is no closed-form SQL oracle for
   decoded pixels; verification is pytest: DCT/IDCT orthonormality,
   hand-built Huffman bitstreams, roundtrip PSNR bounds, DC-only
@@ -237,18 +239,6 @@ def _encode_component(
     return pred
 
 
-def _blocks(plane: np.ndarray) -> np.ndarray:
-    """(n_blocks, 8, 8) edge-replicated 8x8 tiling of a 2-D plane."""
-    h, w = plane.shape
-    H, W = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
-    return (
-        padded.reshape(H // 8, 8, W // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-    )
-
-
 def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     payload = bytes([tc_th]) + bytes(bits[1:]) + bytes(vals)
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
@@ -259,37 +249,75 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def _plane_blocks_mcu(plane: np.ndarray, hi: int, vi: int, mcux: int, mcuy: int):
+    """Quantize-ready 8x8 blocks of one component plane in MCU-interleaved
+    order: for each MCU (row-major), the component's vi x hi sub-blocks in
+    raster order — the T.81 interleave the decoder walks."""
+    H, W = mcuy * 8 * vi, mcux * 8 * hi
+    ph, pw = plane.shape
+    padded = np.pad(plane, ((0, H - ph), (0, W - pw)), mode="edge")
+    b = (
+        padded.reshape(mcuy, vi, 8, mcux, hi, 8)
+        .transpose(0, 3, 1, 4, 2, 5)  # (mcuy, mcux, vi, hi, 8, 8)
+        .reshape(-1, 8, 8)
+    )
+    return b
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as baseline JPEG
-    (4:4:4, custom canonical Huffman tables, JFIF color)."""
+    (custom canonical Huffman tables, JFIF color).  ``subsampling``:
+    '444' (no chroma subsampling) or '420' (chroma box-averaged 2x2 — the
+    dominant real-world layout; Y carries 4 blocks per MCU)."""
     if arr.dtype != np.uint8:
         raise ValueError(f"encode_jpeg needs uint8, got {arr.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444|420, got {subsampling!r}")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"unsupported shape {arr.shape}")
     h, w = arr.shape[:2]
     if gray:
         planes = [arr.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # 2x2 box average on an edge-padded even grid
+            he, we = h + (h & 1), w + (w & 1)
+            def down(p):
+                pp = np.pad(p, ((0, he - h), (0, we - w)), mode="edge")
+                return (
+                    pp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+                )
+            planes = [y, down(cb), down(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
-    quants = [ql] + ([qc, qc] if not gray else [])
+    quants = [ql] + [qc] * (ncomp - 1)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _dqt_segment(0, ql)
     if not gray:
         out += _dqt_segment(1, qc)
-    ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0x00, _DC_BITS, _DC_VALS)
     out += _dht_segment(0x10, _AC_BITS, _AC_VALS)
@@ -299,11 +327,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    # interleaved MCUs: with 1x1 sampling, one block per component per MCU
     writer = _BitWriter()
     comp_blocks = []
-    for plane, q in zip(planes, quants):
-        blocks = _blocks(plane) - 128.0
+    for plane, q, (hi, vi) in zip(planes, quants, samps):
+        blocks = _plane_blocks_mcu(plane, hi, vi, mcux, mcuy) - 128.0
         coeffs = np.matmul(np.matmul(_C, blocks), _C.T)
         qz = np.round(coeffs / q).astype(np.int64)
         zz = qz.reshape(-1, 64)[:, _ZZ_FLAT]
@@ -312,10 +339,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)
         comp_blocks.append(zz)
     preds = [0] * ncomp
-    for bi in range(comp_blocks[0].shape[0]):
+    for m in range(mcux * mcuy):
         for ci in range(ncomp):
+            hi, vi = samps[ci]
+            nblk = hi * vi
             preds[ci] = _encode_component(
-                writer, comp_blocks[ci][bi : bi + 1], preds[ci]
+                writer,
+                comp_blocks[ci][m * nblk : (m + 1) * nblk],
+                preds[ci],
             )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
@@ -453,9 +484,12 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled chroma (only 1x1)")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} (1x1/2x2 supported)"
+                    )
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(f"non-baseline SOF marker {marker:#x}")
@@ -481,12 +515,17 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     entropy = data[pos:end].replace(b"\xff\x00", b"\xff")
     reader = _BitReader(entropy)
 
-    bx, by = -(-w // 8), -(-h // 8)
-    nmcu = bx * by
-    # entropy pass: pure-int symbol loop filling (n_blocks, 64) zigzag
-    # coefficient arrays; all math after this point is vectorized over
-    # every block of a component at once (one einsum IDCT)
-    comp_zz = [np.zeros((nmcu, 64), dtype=np.int64) for _ in range(nc)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    # entropy pass: pure-int symbol loop filling per-component
+    # (n_blocks, 64) zigzag arrays in MCU-interleave order; all math after
+    # this point is vectorized over every block of a component at once
+    comp_zz = [
+        np.zeros((nmcu * c["h"] * c["v"], 64), dtype=np.int64) for c in comps
+    ]
     luts = [
         (huff[(0, tabs[c["id"]][0])], huff[(1, tabs[c["id"]][1])])
         for c in comps
@@ -495,34 +534,46 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     for m in range(nmcu):
         for ci in range(nc):
             dc_lut, ac_lut = luts[ci]
-            z = [0] * 64
-            size = _read_symbol(reader, dc_lut)
-            preds[ci] += _extend(reader.read_bits(size), size)
-            z[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(reader, ac_lut)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                z[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            comp_zz[ci][m] = z
+            nblk = comps[ci]["h"] * comps[ci]["v"]
+            for bi in range(nblk):
+                z = [0] * 64
+                size = _read_symbol(reader, dc_lut)
+                preds[ci] += _extend(reader.read_bits(size), size)
+                z[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(reader, ac_lut)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    z[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                comp_zz[ci][m * nblk + bi] = z
     planes = []
     for ci in range(nc):
-        coeffs = np.zeros((nmcu, 64), dtype=np.float64)
+        hi, vi = comps[ci]["h"], comps[ci]["v"]
+        nb = nmcu * hi * vi
+        coeffs = np.zeros((nb, 64), dtype=np.float64)
         coeffs[:, _ZZ_FLAT] = comp_zz[ci]
-        blocks = coeffs.reshape(nmcu, 8, 8) * quant[comps[ci]["tq"]]
+        blocks = coeffs.reshape(nb, 8, 8) * quant[comps[ci]["tq"]]
         pix = np.matmul(np.matmul(_C.T, blocks), _C) + 128.0
+        # (mcuy, mcux, vi, hi, 8, 8) -> component plane, then upsample to
+        # full resolution by sample repetition and crop
         plane = (
-            pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            pix.reshape(mcuy, mcux, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vi * 8, mcux * hi * 8)
         )
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
         planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

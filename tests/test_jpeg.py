@@ -118,6 +118,36 @@ class TestCodec:
         d = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=100))
         assert np.abs(d.astype(int) - g.astype(int)).max() <= 1
 
+    def test_420_roundtrip_structured(self):
+        xx, yy = np.meshgrid(np.arange(33), np.arange(31))
+        img = np.stack(
+            [(xx * 3 + yy * 2) % 256, (xx + yy * 4) % 256, (xx * 5) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsampling="420"))
+        assert d.shape == img.shape
+        mse = np.mean((d.astype(float) - img.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / mse) > 33
+
+    def test_420_constant_exact(self):
+        c = np.full((20, 20, 3), 130, dtype=np.uint8)
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg(c, quality=80, subsampling="420"))
+        assert np.abs(d.astype(int) - 130).max() <= 1
+
+    def test_420_odd_dimensions(self):
+        rng = np.random.default_rng(7)
+        for shp in [(9, 9), (8, 16), (15, 7), (1, 1), (16, 17)]:
+            a = rng.integers(0, 256, size=(*shp, 3), dtype=np.uint8)
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(a, 90, subsampling="420"))
+            assert out.shape == a.shape
+
+    def test_420_smaller_than_444_on_chroma_noise(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        assert len(jpeg.encode_jpeg(img, 85, "420")) < len(
+            jpeg.encode_jpeg(img, 85, "444")
+        )
+
     def test_errors(self):
         with pytest.raises(ValueError, match="SOI"):
             jpeg.decode_jpeg(b"\x89PNG" + b"\x00" * 32)
