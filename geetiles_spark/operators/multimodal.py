@@ -219,13 +219,23 @@ def resize_chips(
                     continue
                 arr = _decode(r.payload, fmt, r.dtype, r.height, r.width, r.bands)
                 if mode == "bilinear":
-                    out = bilinear_resize_uint8(
-                        arr.astype(np.uint8), out_h, out_w
-                    )
+                    if arr.dtype != np.uint8:
+                        # astype(uint8) would silently WRAP uint16/float32
+                        # payloads (both exist in sources/datasets.py) and
+                        # the row metadata would then lie about the payload
+                        # itemsize — refuse instead of corrupting.
+                        raise ValueError(
+                            "bilinear resize supports uint8 chips only, got "
+                            f"dtype={arr.dtype} for tile {r.tile_id}; "
+                            "range/value-map to uint8 first"
+                        )
+                    out = bilinear_resize_uint8(arr, out_h, out_w)
+                    out_dtype = "uint8"
                 else:
                     yi = (np.arange(out_h) * r.height // out_h).astype(np.int64)
                     xi = (np.arange(out_w) * r.width // out_w).astype(np.int64)
                     out = arr[np.ix_(yi, xi)] if arr.ndim == 2 else arr[np.ix_(yi, xi)]
+                    out_dtype = str(out.dtype)
                 rows.append(
                     {
                         "tile_id": r.tile_id,
@@ -233,7 +243,7 @@ def resize_chips(
                         "height": out_h,
                         "width": out_w,
                         "bands": int(r.bands),
-                        "dtype": str(r.dtype),
+                        "dtype": out_dtype,
                         "payload": np.ascontiguousarray(out).tobytes(),
                     }
                 )
@@ -346,14 +356,18 @@ def audio_autocorr(audio: DataFrame, lags: tuple[int, ...] = (1, 2, 4, 8)) -> Da
             rows = []
             for r in pdf.itertuples(index=False):
                 x = np.frombuffer(r.payload, dtype="<i2").astype(np.int64)
+                # lag >= n yields NO row (not acorr=0): the SQL twin's
+                # per-lag group is empty for such clips, and emitting a
+                # zero here would diverge from the oracle on clips shorter
+                # than the largest lag.
                 for lag in lags:
+                    if lag >= len(x):
+                        continue
                     rows.append(
                         {
                             "tile_id": r.tile_id,
                             "lag": lag,
-                            "acorr": int(np.sum(x[:-lag] * x[lag:]))
-                            if lag < len(x)
-                            else 0,
+                            "acorr": int(np.sum(x[:-lag] * x[lag:])),
                         }
                     )
             if rows:

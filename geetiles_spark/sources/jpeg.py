@@ -520,6 +520,18 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     nmcu = mcux * mcuy
+    # Bomb guard (ADVICE r5): the coefficient arrays below are sized from
+    # HEADER-declared dimensions, so a tiny corrupt payload could demand
+    # gigabytes before entropy decode ever validates a bit.  Every decoded
+    # block consumes >= 2 entropy bits (a 1-bit DC code + a 1-bit EOB), so
+    # total blocks can never exceed 4 * entropy bytes — reject anything
+    # past that bound as ValueError instead of allocating it.
+    total_blocks = nmcu * sum(c["h"] * c["v"] for c in comps)
+    if h * w > 1 << 28 or total_blocks > 4 * len(entropy):
+        raise ValueError(
+            f"declared {w}x{h}/{total_blocks} blocks exceeds what "
+            f"{len(entropy)} entropy bytes could encode"
+        )
     # entropy pass: pure-int symbol loop filling per-component
     # (n_blocks, 64) zigzag arrays in MCU-interleave order; all math after
     # this point is vectorized over every block of a component at once

@@ -227,7 +227,19 @@ def _decode_png_impl(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
     if ctype not in _CTYPE_CHANNELS:
         raise NotImplementedError(f"color type {ctype} not supported")
-    raw = zlib.decompress(b"".join(idat))
+    # Bounded inflate: a tiny malicious IDAT can declare a huge deflate
+    # stream (zip bomb) — cap decompression at the exact filtered-scanline
+    # size the IHDR implies (h * (1 filter byte + w*channels)) and reject
+    # any overflow as ValueError, never allocating beyond the declared
+    # image. (ADVICE r5: unbounded zlib.decompress isn't covered by the
+    # pinned error contract — OOM is not a ValueError.)
+    if h > 1 << 16 or w > 1 << 16 or h * w > 1 << 28:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    expect = h * (1 + w * _CTYPE_CHANNELS[ctype])
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(b"".join(idat), expect)
+    if dobj.unconsumed_tail or dobj.flush():
+        raise ValueError("IDAT inflates past the IHDR-declared image size")
     return _unfilter(raw, h, w, _CTYPE_CHANNELS[ctype])
 
 

@@ -1,0 +1,125 @@
+"""Round-6 regression tests for the three ADVICE r5 items:
+
+1. resize_chips(mode='bilinear') must refuse non-uint8 chips instead of
+   silently wrapping them with astype(uint8), and the output row's dtype
+   must describe the actual payload bytes.
+2. decode_png / decode_jpeg must reject decompression bombs (tiny payloads
+   declaring huge outputs) as ValueError BEFORE allocating the output.
+3. audio_autocorr must emit NO row for lag >= clip length (matching the
+   SQL oracle's empty per-lag group), not acorr=0.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geetiles_spark.operators import multimodal
+from geetiles_spark.sources import chips as chipsrc
+from geetiles_spark.sources import jpeg, png
+
+
+class TestBilinearDtypeGuard:
+    def test_uint16_bilinear_raises(self, spark, tiles_box):
+        ch = chipsrc.generate_chips(tiles_box.limit(1), "humanpop-2015")
+        assert ch.first()["dtype"] == "uint16"
+        with pytest.raises(Exception, match="uint8"):
+            multimodal.resize_chips(ch, 25, 25, mode="bilinear").collect()
+
+    def test_output_dtype_describes_payload(self, spark, tiles_box):
+        # nearest on uint16: dtype column must say uint16 and the payload
+        # must round-trip through decode_payload at 2 bytes/px
+        ch = chipsrc.generate_chips(tiles_box.limit(1), "humanpop-2015")
+        out = multimodal.resize_chips(ch, 25, 25, mode="nearest").first()
+        assert out["dtype"] == "uint16"
+        assert len(out["payload"]) == 25 * 25 * 2
+        arr = chipsrc.decode_payload(
+            out["payload"], out["dtype"], out["height"], out["width"], out["bands"]
+        )
+        assert arr.dtype == np.uint16
+
+    def test_bilinear_uint8_still_works(self, spark, tiles_box):
+        ch = chipsrc.generate_chips(tiles_box.limit(1), "esaworldcover-2020")
+        out = multimodal.resize_chips(ch, 25, 25, mode="bilinear").first()
+        assert out["dtype"] == "uint8"
+        assert len(out["payload"]) == 25 * 25
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+class TestDecompressionBombs:
+    def test_png_idat_overflow_is_valueerror(self):
+        # IHDR declares 2x2 grayscale (expect 2*(1+2)=6 filtered bytes) but
+        # the IDAT inflates to 1 MiB — must be ValueError, never a 1 MiB+
+        # allocation that silently succeeds or OOMs
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (1 << 20))
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb)
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="declared image size"):
+            png.decode_png(data)
+
+    def test_png_implausible_dims_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="implausible"):
+            png.decode_png(data)
+
+    def test_png_valid_roundtrip_unaffected(self):
+        arr = (np.arange(48, dtype=np.uint8)).reshape(4, 4, 3)
+        out = png.decode_png(png.encode_png(arr))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_jpeg_huge_declared_dims_rejected(self):
+        # take a real tiny JPEG and patch the SOF0 dimensions to 8192x8192:
+        # the MCU count the header implies can't be encoded by the few
+        # entropy bytes present — must be ValueError before the int64
+        # coefficient arrays are sized from the header
+        arr = np.full((8, 8), 128, dtype=np.uint8)
+        data = bytearray(jpeg.encode_jpeg(arr))
+        i = data.find(b"\xff\xc0")
+        assert i > 0
+        # SOF0 body: len(2) prec(1) h(2) w(2) ...
+        struct.pack_into(">HH", data, i + 5, 8192, 8192)
+        with pytest.raises(ValueError, match="entropy bytes"):
+            jpeg.decode_jpeg(bytes(data))
+
+    def test_jpeg_valid_roundtrip_unaffected(self):
+        arr = np.full((16, 16), 200, dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=95))
+        assert out.shape == (16, 16)
+        assert abs(int(out.mean()) - 200) <= 2
+
+
+class TestAutocorrShortClips:
+    def test_lag_beyond_clip_emits_no_row(self, spark):
+        # 4-sample clip with lags (1,2,4,8): only lags 1 and 2 may emit —
+        # the DuckDB oracle's per-lag group is empty for lag >= n and the
+        # engine must agree rather than emitting acorr=0
+        x = np.array([3, -1, 2, 5], dtype="<i2")
+        df = spark.createDataFrame(
+            [("clip0", bytearray(x.tobytes()))], "tile_id string, payload binary"
+        )
+        rows = multimodal.audio_autocorr(df, lags=(1, 2, 4, 8)).collect()
+        got = {(r["lag"], r["acorr"]) for r in rows}
+        assert got == {
+            (1, int(3 * -1 + -1 * 2 + 2 * 5)),
+            (2, int(3 * 2 + -1 * 5)),
+        }
