@@ -431,6 +431,31 @@ def _q_resize_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.band_stats(resized, fmt="raw").orderBy("tile_id", "band")
 
 
+def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed video end-to-end (round 6, closing the last stub): REAL
+    MJPEG-in-AVI clips (stdlib RIFF container, pure-numpy baseline JPEG
+    frames) -> frame_sample's container walk extracts every 2nd '00dc'
+    chunk -> band_stats(fmt='jpeg') entropy-decodes each sampled frame.
+    Frames are constant-8x8-block patterns, so the lossy codec is
+    DC-exact and the DuckDB twin re-derives every decoded pixel via the
+    data-independent dc_value_map literals
+    (oracle_sql.video_frame_stats_oracle_sql).  Reference analog: chip
+    decode, ``geetiles/partitions.py:441-445`` (the reference has no
+    video modality; this is training-pipeline surface)."""
+    from geetiles_spark.sources import avi as avisrc
+
+    tiles = _fixture_tiles(spark)
+    clips = avisrc.generate_mjpeg_clips(
+        tiles, "patternmjpeg-2020", n_frames=6, height=32, width=32, quality=50
+    )
+    frames = multimodal.frame_sample(clips, every_n=2, fmt="video/mjpeg-avi")
+    frames = frames.withColumn(
+        "tile_id",
+        F.concat(F.col("tile_id"), F.lit(":f"), F.col("frame_idx").cast("string")),
+    ).withColumn("status", F.lit("ok"))
+    return multimodal.band_stats(frames, fmt="jpeg").orderBy("tile_id", "band")
+
+
 def _q_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer audio autocorrelation at lags (1,2,4,8) over the
     closed-form PCM clips — the periodicity feature an FFT estimates, in
@@ -1878,6 +1903,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "resize_bilinear_stats": _q_resize_bilinear_stats,
         "audio_autocorr": _q_audio_autocorr,
+        "video_frame_stats": _q_video_frame_stats,
     }
 
 
@@ -1892,6 +1918,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql(),
         "resize_bilinear_stats": _oracle_mod().bilinear_png_stats_oracle_sql(500),
         "audio_autocorr": _oracle_mod().audio_autocorr_oracle_sql(500),
+        "video_frame_stats": _oracle_mod().video_frame_stats_oracle_sql(500),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

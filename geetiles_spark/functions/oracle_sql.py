@@ -1000,6 +1000,59 @@ ORDER BY tile_id, band
 """
 
 
+def video_frame_stats_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternmjpeg-2020",
+    n_frames: int = 6,
+    height: int = 32,
+    width: int = 32,
+    quality: int = 50,
+    every_n: int = 2,
+) -> str:
+    """Compressed-video-modality oracle: clips are MJPEG-in-AVI whose
+    frames are all CONSTANT 8x8 blocks (``sources.avi.pattern_frame``), so
+    decode(encode(v)) is the data-independent 256-entry map
+    ``sources.avi.dc_value_map(quality)`` — embedded here as literals (the
+    semantic_dedup deterministic-literal trick).  The SQL re-derives every
+    block value ``(seed + 7919*(f*nblocks + b)) % 256`` for the SAMPLED
+    frames, maps it through the literals, and applies the engine's exact
+    per-band integer reductions.  The engine side round-trips real AVI
+    bytes (RIFF walk -> standalone JPEG chunk -> entropy decode -> dequant
+    -> IDCT -> JFIF rounding), so container walk + JPEG decode + frame
+    sampling arithmetic are all inside the value hash."""
+    from ..sources.avi import dc_value_map
+
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "vidseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    nb = (height // 8) * (width // 8)
+    px_per_block = 64
+    dcmap = dc_value_map(quality)
+    map_rows = ", ".join(f"({v}, {d})" for v, d in enumerate(dcmap))
+    return f"""
+WITH {body},
+{seed.render()},
+dcmap(v, d) AS (VALUES {map_rows}),
+blk AS (
+  SELECT tile_id || ':f' || CAST(fr.f AS VARCHAR) AS tile_id,
+         (seed + 7919 * (fr.f * {nb} + b.b)) % 256 AS v
+  FROM {seed.last()},
+       (VALUES {", ".join(f"({f})" for f in range(0, n_frames, every_n))}) fr(f),
+       generate_series(0, {nb - 1}) b(b)
+)
+SELECT blk.tile_id,
+       '{dataset}' AS dataset,
+       CAST(0 AS INTEGER) AS band,
+       CAST({px_per_block} * sum(dcmap.d) AS BIGINT) AS sum_val,
+       CAST(min(dcmap.d) AS BIGINT) AS min_val,
+       CAST(max(dcmap.d) AS BIGINT) AS max_val,
+       CAST({px_per_block} * sum(CASE WHEN dcmap.d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM blk JOIN dcmap ON dcmap.v = blk.v
+GROUP BY blk.tile_id
+ORDER BY blk.tile_id
+"""
+
+
 def bilinear_png_stats_oracle_sql(
     chip_size_m: float,
     dataset: str = "patternpng-2020",

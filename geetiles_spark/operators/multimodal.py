@@ -7,10 +7,13 @@ see sources/chips.py) via ``np.frombuffer``, PNG streams via the
 pure-stdlib codec in :mod:`..sources.png` (zlib inflate + scanline
 unfilter, all five PNG filters), and baseline JPEG via the pure-numpy
 codec in :mod:`..sources.jpeg` (marker parse, stream-declared Huffman
-tables, dequant + orthonormal IDCT, JFIF color).  Only video decode
-remains STUBBED behind ``NotImplementedError`` (ffmpeg genuinely absent)
-with the Spark-side plumbing (schema, batching, UDF signature,
-partitioning) fully real and tested on the decodable formats.
+tables, dequant + orthonormal IDCT, JFIF color).  Video is real for raw
+frame-packed clips AND for MJPEG-in-AVI (stdlib RIFF walk in
+:mod:`..sources.avi` + the JPEG decoder — intra-frame codecs need no
+ffmpeg).  Only INTER-frame codecs (H.264/VP9 motion compensation) remain
+behind ``NotImplementedError`` — those genuinely need ffmpeg/pyav — with
+the Spark-side plumbing (schema, batching, UDF signature, partitioning)
+identical to the real branches.
 
 All operators are ``mapInPandas`` stages: Arrow moves the binary batches,
 numpy does the math, nothing is per-row Python beyond the ndarray reshape.
@@ -277,25 +280,78 @@ def frame_sample(
     REAL for ``video/raw`` — a clip is ``n_frames`` C-order raw frames
     concatenated, so slicing frame k is one ``np.frombuffer`` view at
     offset ``k * h * w * bands`` (times itemsize); no codec involved.
-    Compressed containers (mp4/vp9/...) raise ``NotImplementedError``:
-    inter-frame codecs genuinely need ffmpeg/pyav (absent here); in
-    production that branch seeks to the nearest keyframe and decodes
-    forward inside the same Arrow batch, with identical output schema.
+
+    REAL for ``video/mjpeg-avi`` (round 6, closing the last stub) —
+    Motion-JPEG is intra-frame, so a sampled frame is just the ``00dc``
+    chunk the stdlib RIFF walk (:func:`..sources.avi.parse_avi_mjpeg`)
+    extracts; the emitted payload is that standalone baseline-JPEG
+    stream, which the downstream image operators decode with
+    ``fmt='jpeg'`` (the pure-numpy codec in :mod:`..sources.jpeg`).
+    Note a container walk touches only the sampled chunk headers — no
+    decode cost is paid for skipped frames, exactly the production
+    keyframe-seek behavior.
+
+    INTER-frame containers (mp4/h264/vp9/...) raise
+    ``NotImplementedError``: motion-compensated codecs genuinely need
+    ffmpeg/pyav (absent here); in production that branch seeks to the
+    nearest keyframe and decodes forward inside the same Arrow batch,
+    with identical output schema.
 
     ``media`` needs (tile_id, dataset, height, width, bands, dtype,
     n_frames, payload)."""
-    if fmt != "video/raw":
+    if fmt not in ("video/raw", "video/mjpeg-avi"):
         def stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for _pdf in batches:
                 raise NotImplementedError(
                     f"video container '{fmt}' requires pyav/ffmpeg (absent); "
-                    "raw frame-packed clips decode via fmt='video/raw'"
+                    "raw clips decode via fmt='video/raw', Motion-JPEG AVI "
+                    "via fmt='video/mjpeg-avi'"
                 )
 
         return media.mapInPandas(stub, FRAME_SCHEMA)
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+
+    if fmt == "video/mjpeg-avi":
+        from ..sources.avi import parse_avi_mjpeg
+
+        def run_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    clip = parse_avi_mjpeg(r.payload)
+                    if (
+                        clip["width"] != int(r.width)
+                        or clip["height"] != int(r.height)
+                        or clip["n_frames"] != int(r.n_frames)
+                    ):
+                        raise ValueError(
+                            f"clip {r.tile_id}: AVI header "
+                            f"{clip['width']}x{clip['height']}x{clip['n_frames']} "
+                            f"!= metadata {r.width}x{r.height}x{r.n_frames}"
+                        )
+                    for k in range(0, clip["n_frames"], every_n):
+                        rows.append(
+                            {
+                                "tile_id": r.tile_id,
+                                "dataset": r.dataset,
+                                "frame_idx": k,
+                                "height": int(r.height),
+                                "width": int(r.width),
+                                "bands": int(r.bands),
+                                "dtype": str(r.dtype),
+                                "payload": clip["frames"][k],
+                            }
+                        )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        cols = [
+            "tile_id", "dataset", "height", "width", "bands", "dtype",
+            "n_frames", "payload",
+        ]
+        return media.select(*cols).mapInPandas(run_avi, FRAME_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -52,6 +52,7 @@ def _gate(spark, con, name):
         "mixture_sample",
         "resize_bilinear_stats",
         "audio_autocorr",
+        "video_frame_stats",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):
