@@ -595,6 +595,8 @@ def interval_spatial_join(
     events: DataFrame,
     start_lit: str,
     end_lit: str,
+    broadcast_events: bool = True,
+    level: int | None = None,
 ) -> DataFrame:
     """Per tile, events whose geometry intersects the tile AND whose
     [start, end] interval is contained in [start_lit, end_lit] — the flood
@@ -610,16 +612,32 @@ def interval_spatial_join(
     footprints, not just rectangles.  Without a footprint column events are
     treated as their bboxes (exact for box footprints).
 
-    Scale bound (VERDICT r4): the in-window event footprints are collected
-    and broadcast, so this strategy holds while the filtered catalog fits
-    executor broadcast budgets (O(10^5) events x ring size — flood/disaster
-    catalogs are dim tables by contract, the reference's is ~thousands).
-    If a catalog ever outgrows that, apply the ``pip_join_cells`` pattern:
-    cell-decompose event rings, equi-join on cell id with the rings carried
-    through the join (``joins.pip_join(broadcast_polys=False)``) — no
-    driver collect, shuffle-partitioned by cell.
+    Two physical strategies, result-identical (cross-tested in
+    ``tests/test_operators_extended.py``):
+
+    * ``broadcast_events=True`` (dim-sized catalogs, the contract path):
+      the in-window event footprints are collected and broadcast — holds
+      while the filtered catalog fits executor broadcast budgets (O(10^5)
+      events x ring size; flood/disaster catalogs are dim tables by
+      contract, the reference's is ~thousands).  Wins when events are few:
+      tiles never shuffle at all.
+    * ``broadcast_events=False`` (the scale path, VERDICT r5 next #2 —
+      the ``pip_join``/``spatial_pairs_cell_join`` pattern): both sides
+      explode to covering cells, a ``shuffle_hash`` equi-join on the cell
+      id produces candidates with the event ring CARRIED THROUGH the join,
+      duplicates are cut by the report-once rule (keep the pair only in
+      the cell containing the bbox-intersection's lower-left corner — a
+      pure filter, no distinct), and the exact box-vs-ring refine decodes
+      rings per batch with a local cache.  No driver collect of the event
+      relation anywhere in the plan, so catalog cardinality is unbounded;
+      the cost is one shuffle of each side on its cell ids.  Wins when
+      the in-window catalog outgrows broadcast budgets.
     """
     has_geom = "geometry_wkb" in events.columns
+    if not broadcast_events:
+        return _interval_spatial_join_cells(
+            tiles, events, start_lit, end_lit, has_geom, level
+        )
     cols = [
         F.col("event_id"),
         F.col("minx").alias("e_minx"), F.col("miny").alias("e_miny"),
@@ -683,6 +701,111 @@ def interval_spatial_join(
     return cand.select(
         "tile_id", "event_id", "minx", "miny", "maxx", "maxy"
     ).mapInPandas(refine, schema)
+
+
+def _interval_spatial_join_cells(
+    tiles: DataFrame,
+    events: DataFrame,
+    start_lit: str,
+    end_lit: str,
+    has_geom: bool,
+    level: int | None = None,
+) -> DataFrame:
+    """Cell-shuffle twin of :func:`interval_spatial_join` (no driver
+    collect, no broadcast of the event relation): the interval predicate
+    pushes into the event scan, both sides cell-decompose, and the ring
+    refine consumes ``geometry_wkb`` carried through the equi-join."""
+    e = events.filter(
+        (F.col("start") >= F.lit(start_lit)) & (F.col("end") <= F.lit(end_lit))
+    )
+    if not has_geom:
+        e = e.withColumn("geometry_wkb", F.lit(None).cast("binary"))
+    level = level or choose_level(e)
+    size = cells.cell_size_deg(level)
+
+    tcells = _explode_cells(
+        tiles.select(
+            F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"
+        ),
+        level,
+        ["minx", "miny", "maxx", "maxy"],
+    ).select(
+        F.col("key").alias("tile_id"), "cell",
+        F.col("minx").alias("t_minx"), F.col("miny").alias("t_miny"),
+        F.col("maxx").alias("t_maxx"), F.col("maxy").alias("t_maxy"),
+    )
+    ecells = _explode_cells(
+        e.select(
+            F.col("event_id").cast("string").alias("key"),
+            "minx", "miny", "maxx", "maxy", "geometry_wkb",
+        ),
+        level,
+        ["minx", "miny", "maxx", "maxy", "geometry_wkb"],
+    ).select(
+        F.col("key").alias("event_id"), "cell",
+        F.col("minx").alias("e_minx"), F.col("miny").alias("e_miny"),
+        F.col("maxx").alias("e_maxx"), F.col("maxy").alias("e_maxy"),
+        "geometry_wkb",
+    )
+
+    joined = tcells.join(ecells.hint("shuffle_hash"), "cell")
+    # bbox overlap + report-once (the spatial_pairs_cell_join rule): a
+    # (tile, event) pair survives only in the cell containing the
+    # lower-left corner of its bbox intersection — exactly one cell per
+    # overlapping pair, so no distinct and no pair-keyed aggregate
+    ref_ix = F.floor(
+        (F.greatest("t_minx", "e_minx") + F.lit(180.0)) / F.lit(size)
+    ).cast("long")
+    ref_iy = F.floor(
+        (F.greatest("t_miny", "e_miny") + F.lit(90.0)) / F.lit(size)
+    ).cast("long")
+    ref_cell = (
+        F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
+        + ref_ix * F.lit(1 << 29).cast("long")
+        + ref_iy
+    )
+    cand = joined.filter(
+        (F.col("t_minx") <= F.col("e_maxx"))
+        & (F.col("t_maxx") >= F.col("e_minx"))
+        & (F.col("t_miny") <= F.col("e_maxy"))
+        & (F.col("t_maxy") >= F.col("e_miny"))
+        & (F.col("cell") == ref_cell)
+    )
+
+    id_type = events.schema["event_id"].dataType
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_cache: dict[str, np.ndarray | None] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            bx0 = pdf["t_minx"].to_numpy()
+            by0 = pdf["t_miny"].to_numpy()
+            bx1 = pdf["t_maxx"].to_numpy()
+            by1 = pdf["t_maxy"].to_numpy()
+            for eid, idx in pdf.groupby("event_id").indices.items():
+                if eid not in ring_cache:
+                    wkb = pdf["geometry_wkb"].iloc[idx[0]]
+                    ring_cache[eid] = (
+                        None if wkb is None else geom.wkb_to_polygon(bytes(wkb))
+                    )
+                ring = ring_cache[eid]
+                if ring is None:  # null footprint: bbox prefilter is exact
+                    keep[idx] = True
+                else:
+                    keep[idx] = geom.boxes_intersect_polygon(
+                        bx0[idx], by0[idx], bx1[idx], by1[idx], ring
+                    )
+            yield pdf.loc[keep, ["tile_id", "event_id"]]
+
+    out = cand.mapInPandas(refine, T.StructType(
+        [
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("event_id", T.StringType()),
+        ]
+    ))
+    return out.withColumn("event_id", F.col("event_id").cast(id_type))
 
 
 def attach_event_props_json(

@@ -1366,3 +1366,83 @@ class TestStratifiedSample:
         assert 0.15 * n <= len(s1) <= 0.25 * n  # ~fraction
         s3 = {r["doc_id"] for r in textop.stratified_sample(docs, 0.2, seed=8).collect()}
         assert s3 != s1  # seed changes the sample
+
+
+class TestIntervalSpatialStrategies:
+    """VERDICT r5 next #2: the cell-shuffle twin of interval_spatial_join
+    must be result-identical to the broadcast path on the triangle
+    fixtures (non-rectangular footprints + a null-footprint event + an
+    out-of-window event), and its plan must contain no driver collect of
+    the event relation and no broadcast of the cell join."""
+
+    def _inputs(self, spark):
+        from __spark_entry__ import _boxes_pdf
+        from geetiles_spark.functions.oracle_sql import event_triangles
+
+        polys = spark.createDataFrame(_boxes_pdf())
+        rows = []
+        for e in event_triangles():
+            ring = np.array(e["verts"] + [e["verts"][0]], dtype=np.float64)
+            xs, ys = ring[:, 0], ring[:, 1]
+            rows.append(
+                {
+                    "event_id": e["event_id"],
+                    "minx": float(xs.min()), "miny": float(ys.min()),
+                    "maxx": float(xs.max()), "maxy": float(ys.max()),
+                    "start": e["start"], "end": e["end"],
+                    "geometry_wkb": bytes(geom.polygon_to_wkb(ring)),
+                }
+            )
+        # null footprint in-window (bbox-exact refine) straddling boxes
+        rows.append(
+            {
+                "event_id": 100, "minx": 1.5, "miny": 1.5,
+                "maxx": 4.5, "maxy": 2.5,
+                "start": "2020-02-01", "end": "2020-03-01",
+                "geometry_wkb": None,
+            }
+        )
+        ev = spark.createDataFrame(pd.DataFrame(rows))
+        return polys, ev
+
+    def test_cell_twin_matches_broadcast(self, spark):
+        polys, ev = self._inputs(spark)
+        a = {
+            (r["tile_id"], r["event_id"])
+            for r in joins.interval_spatial_join(
+                polys, ev, "2020-01-01", "2020-12-31"
+            ).collect()
+        }
+        b = {
+            (r["tile_id"], r["event_id"])
+            for r in joins.interval_spatial_join(
+                polys, ev, "2020-01-01", "2020-12-31", broadcast_events=False
+            ).collect()
+        }
+        assert a == b and len(a) > 25
+        # the null-footprint event matched via bbox in both
+        assert any(eid == 100 for _, eid in a)
+        # out-of-window triangles (start 2019) excluded in both
+        from geetiles_spark.functions.oracle_sql import event_triangles
+
+        out_ids = {e["event_id"] for e in event_triangles() if e["start"] < "2020"}
+        assert not any(eid in out_ids for _, eid in a)
+
+    def test_cell_twin_never_collects_events(self, spark, monkeypatch):
+        import re
+
+        import pyspark.sql.classic.dataframe as cdf
+
+        polys, ev = self._inputs(spark)
+
+        def boom(self, *a, **k):  # noqa: ANN001
+            raise AssertionError("driver collect during plan construction")
+
+        monkeypatch.setattr(cdf.DataFrame, "collect", boom)
+        df = joins.interval_spatial_join(
+            polys, ev, "2020-01-01", "2020-12-31",
+            broadcast_events=False, level=6,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert not re.search(r"BroadcastHashJoin \[cell", plan)
