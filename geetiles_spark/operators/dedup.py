@@ -142,16 +142,40 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     hot_bucket_size: int = 1024,
     n_salts: int = 16,
+    est_jaccard_threshold: float | None = None,
+    encode_ids: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band signature.
 
     rows_per_band = num_hashes // bands.  Output (doc_a, doc_b), doc_a <
-    doc_b, one row per pair.  The pair join shuffles on (band, band_sig);
-    cross-band duplicates are cut by the report-once rule (a pair survives
-    only at the FIRST band where the two signature arrays agree — each side
-    carries its per-band sig array), replacing the former terminal
-    ``distinct()``, which at candidate scale was the dominant shuffle.
-    Hot (band, band_sig) buckets — giant exact-dup clusters — route to the
+    doc_b, one row per pair.
+
+    Shuffle-volume design (round 6, VERDICT r5 next #3 — the pair shuffle
+    is the engine's measured scaling frontier at 10x skew):
+
+    * the banded self-join shuffles on a single LONG key
+      ``bkey = xxhash64(band components..., band)`` instead of a
+      ``(band, 'min1|min2')`` string pair — fixed 8 bytes/key vs ~40;
+      hash collisions cannot create false pairs because each side carries
+      its full ``sig`` array (num_hashes longs) and an EXACT band-slice
+      equality filter runs inside the join granule;
+    * cross-band duplicates are cut by the report-once rule (a pair
+      survives only at the FIRST band whose slices agree), a pure filter —
+      no terminal ``distinct()``;
+    * ``est_jaccard_threshold`` verifies INSIDE the join granule: the
+      estimated Jaccard (fraction of equal signature components) is
+      computed from the carried sigs and pairs below the threshold never
+      leave the join task — at 10x skew this is most of the candidate
+      volume, so downstream stages (clustering, writes) see a fraction of
+      the rows.  ``None`` keeps the classic emit-all-candidates contract;
+    * ``encode_ids=True`` (string-id corpora) dictionary-encodes ids to
+      dense longs BEFORE shingling and decodes after the pair join, so the
+      band explode (xN bands) and the pair rows (x2 ids) carry 8-byte
+      longs instead of arbitrary strings; output ordering still uses the
+      ORIGINAL ids (least/greatest after decode).  Long-id corpora skip
+      this (already minimal).
+
+    Hot bkey buckets — giant exact-dup clusters — route to the
     same exact salted join as :func:`ngram_jaccard_pairs`.
 
     Skew machinery is pay-as-you-go (VERDICT r3 #2): the hot relation is a
@@ -171,19 +195,49 @@ def lsh_candidate_pairs(
     of emitted pairs from 0.34 to 0.035.
     """
     rows_per_band = num_hashes // bands
+
+    decode = None
+    if encode_ids:
+        # dictionary-encode BEFORE shingling: one dim-sized distinct +
+        # decode join, in exchange for 8-byte ids through the (band x
+        # replicated, pair x2) hot path of the plan
+        ids = cache.track(
+            docs.select(F.col(id_col).alias("orig"))
+            .distinct()
+            .withColumn("enc_id", F.monotonically_increasing_id())
+        )
+        orig_type = docs.schema[id_col].dataType
+        docs = docs.join(ids, docs[id_col] == ids["orig"]).select(
+            F.col("enc_id").alias(id_col), F.col(text_col)
+        )
+
+        def decode(pairs: DataFrame) -> DataFrame:
+            a = ids.select(
+                F.col("enc_id").alias("doc_a"), F.col("orig").alias("orig_a")
+            )
+            b = ids.select(
+                F.col("enc_id").alias("doc_b"), F.col("orig").alias("orig_b")
+            )
+            return (
+                pairs.join(a, "doc_a")
+                .join(b, "doc_b")
+                .select(
+                    F.least("orig_a", "orig_b").cast(orig_type).alias("doc_a"),
+                    F.greatest("orig_a", "orig_b").cast(orig_type).alias("doc_b"),
+                )
+            )
+
     # flat (non-distinct) shingles: min is idempotent over duplicates and
     # the flat pipeline stays in whole-stage codegen (see char_shingles_flat)
     sig = minhash_signatures(char_shingles_flat(docs, shingle_n, id_col, text_col), num_hashes)
-    # "|" separator: numeric minhashes concatenated bare would alias
-    # (12|345 vs 123|45)
-    band_expr = F.array(
+    # one LONG join key per band: xxhash64 over the band's components +
+    # the band index (baked in so bands never cross-join); the exact
+    # band-slice filter below makes hash collisions harmless
+    bkeys = F.array(
         *[
-            F.concat_ws(
-                "|",
-                *[
-                    F.col("sig")[b * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ],
+            F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                F.lit(b),
             )
             for b in range(bands)
         ]
@@ -192,38 +246,35 @@ def lsh_candidate_pairs(
     # minhash pipeline (the expensive md5 pass) once per side; scoped via
     # cache.track so command/query boundaries unpersist it
     band_rows = cache.track(
-        sig.select("doc_id", band_expr.alias("band_sigs"))
-        .select(
-            "doc_id", "band_sigs",
-            F.posexplode("band_sigs").alias("band", "band_sig"),
-        )
+        sig.select("doc_id", "sig", bkeys.alias("bkeys"))
+        .select("doc_id", "sig", F.posexplode("bkeys").alias("band", "bkey"))
     )
     hot = cache.track(
-        band_rows.groupBy("band", "band_sig")
+        band_rows.groupBy("bkey")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > hot_bucket_size)
-        .select("band", "band_sig")
+        .select("bkey")
     )
 
     def sides(rows, extra=()):
         a_ = rows.select(
-            F.col("doc_id").alias("doc_a"), F.col("band_sigs").alias("sigs_a"),
-            "band", "band_sig", *extra,
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+            "band", "bkey", *extra,
         )
         b_ = rows.select(
-            F.col("doc_id").alias("doc_b"), F.col("band_sigs").alias("sigs_b"),
-            "band", "band_sig", *extra,
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+            "bkey", *extra,
         )
         return a_, b_
 
     if hot.isEmpty():
         a_all, b_all = sides(band_rows)
-        cand = a_all.join(b_all, ["band", "band_sig"])
+        cand = a_all.join(b_all, ["bkey"])
     else:
-        cold = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
-        hot_rows = band_rows.join(F.broadcast(hot), ["band", "band_sig"], "left_semi")
+        cold = band_rows.join(F.broadcast(hot), ["bkey"], "left_anti")
+        hot_rows = band_rows.join(F.broadcast(hot), ["bkey"], "left_semi")
         a_cold, b_cold = sides(cold)
-        cand_cold = a_cold.join(b_cold, ["band", "band_sig"])
+        cand_cold = a_cold.join(b_cold, ["bkey"])
         ha = hot_rows.withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
         )
@@ -232,19 +283,40 @@ def lsh_candidate_pairs(
         )
         a_hot, _ = sides(ha, ("salt",))
         _, b_hot = sides(hb, ("salt",))
-        cand_hot = a_hot.join(b_hot, ["band", "band_sig", "salt"]).drop("salt")
+        cand_hot = a_hot.join(b_hot, ["bkey", "salt"]).drop("salt")
         cand = cand_cold.unionByName(cand_hot)
+
+    def slice_eq(b: int):
+        eq = F.col("sig_a")[b * rows_per_band] == F.col("sig_b")[b * rows_per_band]
+        for r in range(1, rows_per_band):
+            eq = eq & (
+                F.col("sig_a")[b * rows_per_band + r]
+                == F.col("sig_b")[b * rows_per_band + r]
+            )
+        return eq
+
+    # exact verify + report-once INSIDE the join granule: the carried sigs
+    # (a) reject xxhash64 key collisions (slice must truly match at the
+    # joined band) and (b) pin the pair to its FIRST matching band — all
+    # whole-stage-codegen comparisons, no distinct, no pair re-shuffle
     first_match = F.coalesce(
-        *[
-            F.when(F.col("sigs_a")[b] == F.col("sigs_b")[b], F.lit(b))
-            for b in range(bands)
-        ]
+        *[F.when(slice_eq(b), F.lit(b)) for b in range(bands)]
     )
-    return (
-        cand.filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.col("band") == first_match)
-        .select("doc_a", "doc_b")
+    out = cand.filter(F.col("doc_a") < F.col("doc_b")).filter(
+        F.col("band") == first_match
     )
+    if est_jaccard_threshold is not None:
+        # signature-estimated Jaccard = fraction of equal components;
+        # sub-threshold candidates die inside the join task and never hit
+        # the downstream shuffle (the 10x-skew scaling frontier)
+        need = -int(-est_jaccard_threshold * num_hashes // 1)  # ceil
+        matches = sum(
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        out = out.filter(matches >= F.lit(need))
+    out = out.select("doc_a", "doc_b")
+    return decode(out) if decode is not None else out
 
 
 def simhash_signatures(

@@ -53,6 +53,7 @@ def _gate(spark, con, name):
         "resize_bilinear_stats",
         "audio_autocorr",
         "video_frame_stats",
+        "minhash_verified_pairs",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

@@ -1446,3 +1446,66 @@ class TestIntervalSpatialStrategies:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in plan
         assert not re.search(r"BroadcastHashJoin \[cell", plan)
+
+
+class TestLshShuffleReduction:
+    """Round 6 (VERDICT r5 next #3): long-key banded join + verify inside
+    the join granule + dictionary id encoding — all result-preserving."""
+
+    def _docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_threshold_pairs_are_verified_subset(self, spark):
+        from geetiles_spark import cache
+
+        docs = self._docs(spark)
+        with cache.persist_scope():
+            allp = {(r["doc_a"], r["doc_b"])
+                    for r in dedup.lsh_candidate_pairs(docs).collect()}
+        with cache.persist_scope():
+            ver = {(r["doc_a"], r["doc_b"])
+                   for r in dedup.lsh_candidate_pairs(
+                       docs, est_jaccard_threshold=0.5).collect()}
+        assert ver and ver < allp  # strict subset: the filter really cuts
+        # every surviving pair clears the component-match bound; every
+        # rejected candidate fails it (checked against the signatures)
+        with cache.persist_scope():
+            sig = {
+                r["doc_id"]: r["sig"]
+                for r in dedup.minhash_signatures(
+                    dedup.char_shingles_flat(docs, 5), 8
+                ).collect()
+            }
+        for a, b in allp:
+            m = sum(x == y for x, y in zip(sig[a], sig[b]))
+            assert ((a, b) in ver) == (m >= 4), (a, b, m)
+
+    def test_encode_ids_matches_long_id_path(self, spark):
+        from geetiles_spark import cache
+
+        docs = self._docs(spark)
+        sdocs = docs.select(
+            F.concat(F.lit("doc-"), F.format_string("%06d", "doc_id")).alias("doc_id"),
+            "text",
+        )
+        with cache.persist_scope():
+            longp = {(r["doc_a"], r["doc_b"])
+                     for r in dedup.lsh_candidate_pairs(docs).collect()}
+        with cache.persist_scope():
+            encp = {(r["doc_a"], r["doc_b"])
+                    for r in dedup.lsh_candidate_pairs(
+                        sdocs, encode_ids=True).collect()}
+        assert encp == {(f"doc-{a:06d}", f"doc-{b:06d}") for a, b in longp}
+
+    def test_salted_hot_path_exact_with_long_keys(self, spark):
+        from geetiles_spark import cache
+
+        docs = self._docs(spark)
+        with cache.persist_scope():
+            plain = {(r["doc_a"], r["doc_b"])
+                     for r in dedup.lsh_candidate_pairs(docs).collect()}
+        with cache.persist_scope():
+            salted = {(r["doc_a"], r["doc_b"])
+                      for r in dedup.lsh_candidate_pairs(
+                          docs, hot_bucket_size=2, n_salts=4).collect()}
+        assert salted == plain
