@@ -306,6 +306,65 @@ def stream_chip_zonal(
     return processed[0]
 
 
+def stream_embedding_index(
+    spark: SparkSession,
+    embeddings_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "ann_index",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_files_per_trigger: int = 64,
+) -> int:
+    """Streaming embedding ingest -> incremental catalog ANN index
+    (VERDICT r5 next #5): embedding rows arrive as files, each micro-batch
+    runs the UNCHANGED batch maintenance op
+    (:func:`..operators.similarity.ivf_index_commit`) inside
+    ``foreachBatch`` — the ``stream_chip_zonal`` composition applied to
+    the ANN stack, zero operator code forked for streaming.
+
+    Exactly-once the same way: the checkpoint replays a crashed batch
+    at-least-once, and the commit is a ``merge_upsert`` keyed on vec_id,
+    so a re-delivered batch upserts identical rows (idempotent).
+    Quantizer stability is inherited from ``ivf_index_commit``: the FIRST
+    batch fits the coarse quantizer and stores it in commit metadata;
+    every later batch assigns against the committed matrix, so existing
+    partitions stay valid, the cluster partition spec survives every
+    commit, and mid-stream probes (``ivf_query_catalog``) serve from the
+    latest snapshot while the stream keeps appending.  One lineage row
+    lands in the metrics table per commit.
+
+    Returns vectors processed this pass (0 when nothing new).
+    """
+    from ..operators import similarity as simop
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(embeddings_dir)
+    )
+    processed = [0]
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        rows = batch_df.count()
+        if rows == 0:
+            return
+        simop.ivf_index_commit(
+            spark, catalog, batch_df.select("vec_id", "embedding"),
+            table=table, n_clusters=n_clusters, seed=seed,
+        )
+        processed[0] += rows
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return processed[0]
+
+
 class _AppendedListener(StreamingQueryListener):
     """StreamingQueryListener accumulating the ``appended`` observed metric
     per query id — exact regardless of micro-batch count, unlike summing

@@ -123,3 +123,74 @@ class TestAutocorrShortClips:
             (1, int(3 * -1 + -1 * 2 + 2 * 5)),
             (2, int(3 * 2 + -1 * 5)),
         }
+
+
+class TestStreamEmbeddingIndex:
+    def test_stream_builds_incremental_index(self, spark, tmp_path):
+        """VERDICT r5 next #5: embeddings streamed file-by-file through
+        foreachBatch + ivf_index_commit.  Mid-stream probes serve from the
+        latest snapshot, the quantizer is stable across micro-batches,
+        restart from checkpoint is idempotent, and one lineage row lands
+        per commit."""
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.catalog import Catalog
+        from geetiles_spark.operators import similarity
+        from geetiles_spark.streaming import ingest
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        edir = tmp_path / "emb"
+        edir.mkdir()
+        parts = [
+            emb.filter(F.col("vec_id") < 200),
+            emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)),
+        ]
+        late = emb.filter(F.col("vec_id") >= 400)
+        for p in parts:
+            p.coalesce(1).write.mode("append").parquet(str(edir))
+        cat = Catalog(str(tmp_path / "cat"))
+        ck = str(tmp_path / "ck")
+
+        n = ingest.stream_embedding_index(
+            spark, str(edir), cat, ck, n_clusters=8, max_files_per_trigger=1
+        )
+        ingested = parts[0].unionByName(parts[1])
+        assert n == ingested.count()
+
+        # mid-stream probe: current snapshot == brute over ingested vectors
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        got = [(r["rank"], r["vec_id"]) for r in similarity.ivf_query_catalog(
+            spark, cat, q, k=10, nprobe=8).collect()]
+        brute = [(r["rank"], r["vec_id"]) for r in similarity.cosine_topk(
+            ingested, q, 10).collect()]
+        assert got == brute
+
+        # quantizer stability: each micro-batch committed against the
+        # SAME centroid matrix the first batch fit
+        C = similarity.ivf_index_centroids(cat)
+        C1 = similarity.ivf_centroids(parts[0], 8, 42)
+        assert np.array_equal(C, np.asarray(C1))
+
+        # idempotent restart: nothing new -> no rows, no snapshot
+        snaps = len(cat.snapshots("ann_index"))
+        assert ingest.stream_embedding_index(
+            spark, str(edir), cat, ck, n_clusters=8
+        ) == 0
+        assert len(cat.snapshots("ann_index")) == snaps
+
+        # late file: merged in, probe sees the union, quantizer unchanged
+        late.coalesce(1).write.mode("append").parquet(str(edir))
+        assert ingest.stream_embedding_index(
+            spark, str(edir), cat, ck, n_clusters=8
+        ) == late.count()
+        got2 = [(r["rank"], r["vec_id"]) for r in similarity.ivf_query_catalog(
+            spark, cat, q, k=10, nprobe=8).collect()]
+        brute2 = [(r["rank"], r["vec_id"]) for r in similarity.cosine_topk(
+            emb, q, 10).collect()]
+        assert got2 == brute2
+        assert np.array_equal(similarity.ivf_index_centroids(cat), C)
+
+        # lineage: one commit record (rows share a ts per commit; the
+        # counters themselves are per-partition) per micro-batch commit
+        m = cat.read_metrics(spark).filter(F.col("job") == "ivf_index:ann_index")
+        assert m.select("ts").distinct().count() == 3
