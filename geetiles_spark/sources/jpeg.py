@@ -28,6 +28,15 @@ Design choices for a dependency-free, verifiable codec:
 Scale note: entropy decode is a per-symbol Python loop (inherent bit
 serialism), amortized per chip inside Arrow batches; the DCT/dequant math
 is vectorized over all blocks at once.
+
+THROUGHPUT CONTRACT (measured, BENCH/BASELINE.md "codec throughput"):
+~490 chips/s, 5.3 ms/chip, **6.0 decoded MB/s per core** on 64x64x3
+chips (16-bit-window LUT Huffman + batched matmul IDCT).  The bound is
+the per-symbol entropy loop — inherent to Huffman bit serialism in
+Python.  A 100-TB capacity plan must budget cores against that per-core
+figure, or swap ``decode_jpeg`` for a native codec (libjpeg-turbo:
+~200x) inside the identical Arrow plumbing — the swap point is this
+function alone; schema, batching and downstream kernels are unchanged.
 """
 
 from __future__ import annotations

@@ -17,17 +17,25 @@ Reference analog: the per-chip GeoTIFF decode in the download stage
 library call; here PNG needs none.
 
 Scope (documented, raises beyond it): 8-bit depth, color types 0 (gray),
-2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace, no palette.  JPEG stays
-stubbed in :mod:`..operators.multimodal` (DCT codecs genuinely need a
-library).
+2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace, no palette.  JPEG has
+its own pure-numpy codec in :mod:`.jpeg` (round 5).
 
 Scale note: encode filtering is fully vectorized; decode unfilter is
 vectorized for filters 0/1/2 (Up is one add, Sub is a per-lane cumsum) and
 loops per-pixel-column only for Average/Paeth rows (sequential data
 dependency along x — inherent to the format).  Inside ``mapInPandas`` the
-cost is per-chip and embarrassingly parallel across the corpus; a
-production deployment would swap ``decode_png`` for a codec library call
-with the identical Arrow plumbing.
+cost is per-chip and embarrassingly parallel across the corpus.
+
+THROUGHPUT CONTRACT (measured, BENCH/BASELINE.md "codec throughput"):
+~1,060 chips/s and **13.1 decoded MB/s per core** on 64x64x3 chips with
+all filter types cycled — the Average/Paeth plain-int row loop is the one
+place the engine's no-per-row-Python rule is deliberately bent (10x
+faster than per-step numpy at this row width; the left-neighbor data
+dependency makes true vectorization impossible).  A 100-TB capacity plan
+must budget cores against that per-core figure, or swap ``decode_png``
+for a native codec call (libpng/Pillow-SIMD: ~100x) inside the identical
+Arrow plumbing — the swap point is this function alone; schema,
+batching and downstream kernels are unchanged.
 """
 
 from __future__ import annotations
