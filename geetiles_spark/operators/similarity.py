@@ -732,6 +732,10 @@ def ivf_index_commit(
         )
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
     rows = embeddings.join(assigned, id_col)
+    # partition-scoped MERGE is exact here: cluster = argmax(C @ vec) under
+    # the FROZEN committed quantizer, so a re-delivered key always collides
+    # inside the partition the delta touches — delta commits rewrite only
+    # their nprobe-ish clusters and hard-link the rest (round 6)
     catalog.merge_upsert(
         spark,
         rows,
@@ -739,6 +743,7 @@ def ivf_index_commit(
         keys=[id_col],
         meta={"ann_centroids": np.asarray(C).tolist()},
         partition_by=["cluster"],
+        partition_scoped=True,
     )
     catalog.log_metrics(
         spark, job=f"ivf_index:{table}", stage="commit",

@@ -263,10 +263,11 @@ def stream_chip_zonal(
     reference's ``skip_if_exists`` download loop (``gee.py:267-274``),
     expressed as snapshot MERGE instead of per-file existence checks.
 
-    Scale note: the jar-free catalog's MERGE is copy-on-write at TABLE
-    granularity (a new full snapshot per commit), so size
-    ``max_files_per_trigger`` for few, large batches; production Iceberg
-    MERGE rewrites only the matched files with the identical semantics.
+    Scale note: ``zonal_props`` is unpartitioned, so its MERGE is
+    copy-on-write at table granularity (a new full snapshot per commit) —
+    size ``max_files_per_trigger`` for few, large batches.  Partitioned
+    catalog tables get the file-granular scoped merge instead (round 6,
+    ``Catalog.merge_upsert``), which is what the IVF stream uses.
 
     Parallelism note (round 6, found by scripts/streaming_bench.py): a
     file-source micro-batch arrives with ONE partition per input file, so

@@ -14,6 +14,7 @@ import zlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from geetiles_spark.operators import multimodal
 from geetiles_spark.sources import chips as chipsrc
@@ -194,3 +195,111 @@ class TestStreamEmbeddingIndex:
         # counters themselves are per-partition) per micro-batch commit
         m = cat.read_metrics(spark).filter(F.col("job") == "ivf_index:ann_index")
         assert m.select("ts").distinct().count() == 3
+
+
+class TestPartitionScopedMerge:
+    def _mk(self, spark, tmp_path):
+        from geetiles_spark.catalog import Catalog
+
+        cat = Catalog(str(tmp_path / "cat"))
+        base = spark.createDataFrame(
+            [(p, i, float(p * 100 + i)) for p in range(4) for i in range(5)],
+            "part int, id int, v double",
+        )
+        cat.merge_upsert(spark, base, "t", keys=["part", "id"],
+                         partition_by=["part"])
+        return cat
+
+    def test_scoped_merge_rewrites_only_touched_partitions(self, spark, tmp_path):
+        """Auto-enabled when partition cols are a subset of the merge keys:
+        a delta touching one partition rewrites one directory and
+        hard-links the other three from the parent snapshot."""
+        import os
+
+        cat = self._mk(spark, tmp_path)
+        parent = cat.snapshot_path("t")
+        delta = spark.createDataFrame(
+            [(1, 0, -1.0), (1, 99, -2.0)], "part int, id int, v double"
+        )
+        cat.merge_upsert(spark, delta, "t", keys=["part", "id"])
+        meta = cat.commit_meta("t")
+        assert meta["rewritten_partitions"] == 1
+        assert meta["linked_partitions"] == 3
+        # untouched partitions are the SAME files (hard links, no rewrite)
+        cur = cat.snapshot_path("t")
+
+        def inodes(snap, part):
+            d = os.path.join(snap, f"part={part}")
+            return sorted(
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")
+            )
+
+        for p in (0, 2, 3):
+            assert inodes(cur, p) == inodes(parent, p)
+        assert inodes(cur, 1) != inodes(parent, 1)
+        # semantics identical to the full-table merge
+        got = {(r["part"], r["id"]): r["v"]
+               for r in cat.read(spark, "t").collect()}
+        assert got[(1, 0)] == -1.0 and got[(1, 99)] == -2.0
+        assert len(got) == 21
+        assert got[(0, 0)] == 0.0 and got[(3, 4)] == 304.0
+
+    def test_key_migration_keeps_full_table_path(self, spark, tmp_path):
+        """partition col NOT in keys and no explicit opt-in: the full-table
+        anti-join must run, so a key that migrates partitions leaves no
+        stale row behind."""
+        from geetiles_spark.catalog import Catalog
+
+        cat = Catalog(str(tmp_path / "cat2"))
+        base = spark.createDataFrame(
+            [(0, i, 0.0) for i in range(5)], "grp int, id int, v double"
+        )
+        cat.merge_upsert(spark, base, "t", keys=["id"], partition_by=["grp"])
+        moved = spark.createDataFrame([(1, 3, 9.0)], "grp int, id int, v double")
+        cat.merge_upsert(spark, moved, "t", keys=["id"])
+        meta = cat.commit_meta("t")
+        assert "rewritten_partitions" not in meta
+        rows = cat.read(spark, "t").filter(F.col("id") == 3).collect()
+        assert len(rows) == 1 and rows[0]["grp"] == 1 and rows[0]["v"] == 9.0
+
+    def test_ivf_delta_commit_is_file_granular(self, spark, tmp_path):
+        """The IVF maintenance loop opts in (cluster assignment is frozen
+        by the committed quantizer): a small delta rewrites only its own
+        clusters and the probe still equals brute force over the union."""
+        from geetiles_spark.catalog import Catalog
+        from geetiles_spark.operators import similarity
+
+        cat = Catalog(str(tmp_path / "cat3"))
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        first = emb.filter(F.col("vec_id") < 480)
+        delta = emb.filter(F.col("vec_id") >= 480)
+        similarity.ivf_index_commit(spark, cat, first, n_clusters=8)
+        similarity.ivf_index_commit(spark, cat, delta, n_clusters=8)
+        meta = cat.commit_meta("ann_index")
+        n_touched = (
+            cat.read(spark, "ann_index")
+            .join(delta.select("vec_id"), "vec_id", "left_semi")
+            .select("cluster").distinct().count()
+        )
+        assert meta["rewritten_partitions"] == n_touched
+        assert meta["linked_partitions"] == 8 - n_touched
+        assert n_touched < 8  # the delta really was partial
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        got = [(r["rank"], r["vec_id"]) for r in similarity.ivf_query_catalog(
+            spark, cat, q, k=10, nprobe=8).collect()]
+        brute = [(r["rank"], r["vec_id"]) for r in similarity.cosine_topk(
+            emb, q, 10).collect()]
+        assert got == brute
+
+    def test_expire_survives_hardlink_carry(self, spark, tmp_path):
+        """Expiring the parent snapshot a scoped merge linked from must not
+        break the current snapshot (hard links keep the bytes alive)."""
+        cat = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame([(2, 0, -5.0)], "part int, id int, v double")
+        cat.merge_upsert(spark, delta, "t", keys=["part", "id"])
+        expired = cat.expire_snapshots("t", keep_last=1)
+        assert expired
+        got = {(r["part"], r["id"]): r["v"]
+               for r in cat.read(spark, "t").collect()}
+        assert len(got) == 20 and got[(2, 0)] == -5.0 and got[(0, 4)] == 4.0
