@@ -1087,6 +1087,104 @@ GROUP BY source ORDER BY source
 """
 
 
+_EXACT_SUBSTR_K = 8
+
+
+def _q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al. 2022): maximal
+    token spans whose every 8-token window occurs >= 2x corpus-wide.  The
+    SQL twin replays the identical rolling md5 windows + gaps-and-islands
+    merge, so span offsets, lengths, and window counts are value-hashed."""
+    return dedup.exact_substr_spans(
+        _t(spark, sf_dir, "documents"), k=_EXACT_SUBSTR_K
+    ).orderBy("doc_id", "span_start")
+
+
+def _exact_substr_sql(k: int = _EXACT_SUBSTR_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, g.i AS pos,
+         md5(array_to_string(t[g.i:g.i+{k - 1}], ' ')) AS gram_h
+  FROM toks JOIN generate_series(1, 2000) g(i) ON g.i <= len(t) - {k - 1}
+), dup AS (
+  SELECT gram_h FROM pos GROUP BY gram_h HAVING count(*) > 1
+), dp AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram_h)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM dp
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) - min(pos) + {k} AS INTEGER) AS span_len,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """Deterministically salt every 7th doc with one email, one phone, and
+    one IPv4 derived from its id — the natural corpus contains no PII, so
+    the fixture injects known positives in BOTH engines identically."""
+    did = F.col("doc_id").cast("string")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), did,
+                F.lit("@example.com via +155500"), did,
+                F.lit(" from 10.0.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the salted corpus; the full redacted
+    text is part of the hashed result, so any regex-semantics divergence
+    between Spark (java.util.regex) and DuckDB (RE2) breaks the gate."""
+    return text.pii_scrub(
+        _pii_injected(_t(spark, sf_dir, "documents"))
+    ).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _rep in text.PII_PATTERNS
+    )
+    red = "text"
+    for _name, pat, rep in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via +155500' || CAST(doc_id AS VARCHAR)
+                   || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, {red} AS text_redacted
+FROM injected ORDER BY doc_id
+"""
+
+
 _STRATIFIED_SAMPLE_SQL = """
 WITH h AS (
   SELECT source, n_chars,
@@ -1936,6 +2034,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_autocorr": _q_audio_autocorr,
         "video_frame_stats": _q_video_frame_stats,
         "minhash_verified_pairs": _q_minhash_verified_pairs,
+        "exact_substr_spans": _q_exact_substr_spans,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1952,6 +2052,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "audio_autocorr": _oracle_mod().audio_autocorr_oracle_sql(500),
         "video_frame_stats": _oracle_mod().video_frame_stats_oracle_sql(500),
         "minhash_verified_pairs": _dedup_lsh_sql(est_jaccard_threshold=0.5),
+        "exact_substr_spans": _exact_substr_sql(),
+        "pii_scrub": _pii_scrub_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

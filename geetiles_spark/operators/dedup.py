@@ -687,3 +687,90 @@ def dedup_components(
             .alias("is_canonical"),
         )
     )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): per document, every MAXIMAL token span all of whose
+    ``k``-token windows occur at least twice in the corpus — counting every
+    occurrence position, including repeats inside one document, exactly the
+    suffix-array duplicate criterion with the match-length floor ``k``
+    (their production L = 50 tokens).
+
+    Equivalence to the suffix-array formulation: a duplicated substring of
+    ``>= k`` tokens makes every one of its k-windows duplicated, and every
+    duplicated k-window IS a duplicated k-token substring — so the rolling
+    k-window hash marks exactly the tokens a suffix array would mark at
+    threshold ``k``.  Adjacent/overlapping duplicated windows within a doc
+    merge into one maximal span (gaps-and-islands); a merged span's FULL
+    text need not be globally duplicated as a whole — these are the "tokens
+    covered by some duplicate" regions that span-removal dedup actually
+    cuts, not pairwise matches.
+
+    Output: one row per maximal span — ``(doc_id, span_start, span_len,
+    n_windows)`` with ``span_start`` the 1-based token offset and the span
+    covering tokens ``[span_start, span_start + span_len)``; docs shorter
+    than ``k`` tokens emit nothing.
+
+    Physical plan (contrast the reference's O(N x M) pandas loops and the
+    single-machine suffix array, neither of which distributes): one
+    tokenize + posexplode pass emits O(total tokens) ``(gram_hash, doc,
+    pos)`` rows in whole-stage codegen; the duplicate-gram set comes from a
+    map-side-combined count groupBy (never a window over the gram stream —
+    partial aggregation halves the shuffle); a left-semi equi-join on the
+    hash keeps duplicated positions (AQE broadcasts the dup set when small,
+    splits skewed grams when not); the islands merge shuffles once on
+    ``doc_id`` with per-doc sort bounded by tokens-per-doc.  No pair
+    materialization at any point — output is O(duplicated tokens), so the
+    100-TB cost is two bounded shuffles over the token stream.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.size(toks) - (k - 1)
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(wins).alias("pos0", "gram_h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_h")
+    # pos feeds both the dup-gram agg and the semi-join probe side —
+    # cache.track so command/query boundaries unpersist it
+    pos = cache.track(pos)
+    dup = (
+        pos.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("gram_h")
+    )
+    dup_pos = pos.join(dup, "gram_h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )

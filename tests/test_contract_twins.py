@@ -54,6 +54,8 @@ def _gate(spark, con, name):
         "audio_autocorr",
         "video_frame_stats",
         "minhash_verified_pairs",
+        "exact_substr_spans",
+        "pii_scrub",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

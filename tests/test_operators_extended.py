@@ -1509,3 +1509,78 @@ class TestLshShuffleReduction:
                       for r in dedup.lsh_candidate_pairs(
                           docs, hot_bucket_size=2, n_salts=4).collect()}
         assert salted == plain
+
+
+class TestExactSubstrSpans:
+    def _spans(self, spark, rows, k=3):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(len(rows))), "text": rows})
+        )
+        return {
+            (r["doc_id"], r["span_start"], r["span_len"], r["n_windows"])
+            for r in dedup.exact_substr_spans(docs, k=k).collect()
+        }
+
+    def test_cross_doc_duplicate_span_and_offsets(self, spark):
+        # "c d e" (3 tokens = one 3-window) shared across docs 0 and 1,
+        # at token offsets 3 and 1 respectively
+        got = self._spans(
+            spark, ["x y z c d e tail", "q c d e", "nothing shared here at all"]
+        )
+        assert got == {(0, 4, 3, 1), (1, 2, 3, 1)}
+
+    def test_within_doc_repeat_counts_as_duplicate(self, spark):
+        # Lee et al. count all positions incl. the same doc: "a b c" twice
+        # inside doc 0 -> both occurrences are spans; doc 1 is clean
+        got = self._spans(spark, ["a b c z z a b c", "totally different words here"])
+        assert got == {(0, 1, 3, 1), (0, 6, 3, 1)}
+
+    def test_adjacent_windows_merge_to_maximal_span(self, spark):
+        # 4 shared tokens = two overlapping 3-windows -> ONE maximal span
+        # of len 4 with n_windows=2, not two rows
+        got = self._spans(spark, ["p q c d e f", "c d e f r s"])
+        assert got == {(0, 3, 4, 2), (1, 1, 4, 2)}
+
+    def test_short_docs_emit_nothing(self, spark):
+        # both docs are < k tokens: no windows exist, no rows out (and the
+        # descending-sequence footgun for len-k+1 <= 0 must not fire)
+        assert self._spans(spark, ["a b", "a b"], k=5) == set()
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "mail a.user+tag@sub.example.org or +4915512345678 "
+                        "host 192.168.0.1 done",
+                        "no pii in this one at all",
+                    ],
+                }
+            )
+        )
+        got = {r["doc_id"]: r for r in textop.pii_scrub(docs).collect()}
+        assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+        assert got[1]["text_redacted"] == (
+            "mail <EMAIL> or <PHONE> host <IP> done"
+        )
+        assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+        assert got[2]["text_redacted"] == "no pii in this one at all"
+
+    def test_placeholders_opaque_to_later_patterns(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        # the email's digits/dots must not re-match as an IP after
+        # replacement (sequential order contract)
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["ping 1.2.3.4@a.co end"]})
+        )
+        r = textop.pii_scrub(docs).collect()[0]
+        # the email scanner wins the leftmost region; raw-text counts see
+        # both patterns independently
+        assert r["n_email"] == 1 and r["n_ipv4"] == 1
+        assert r["text_redacted"] == "ping <EMAIL> end"
