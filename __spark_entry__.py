@@ -1185,6 +1185,35 @@ FROM injected ORDER BY doc_id
 """
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document (CCNet-style
+    quality signal); the SQL twin retrains the identical add-one model, so
+    count tables, per-token log-probs, and the final ppl all cross-check."""
+    return text.lm_perplexity(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_LM_PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id,
+         CASE WHEN g.i = 1 THEN '' ELSE t[g.i - 1] END AS prev,
+         t[g.i] AS cur
+  FROM toks JOIN generate_series(1, 2000) g(i) ON g.i <= len(t)
+), bc AS (
+  SELECT prev, cur, count(*) AS bcnt FROM big GROUP BY prev, cur
+), cc AS (
+  SELECT prev, count(*) AS ccnt FROM big GROUP BY prev
+)
+SELECT b.doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       round(avg(ln((bcnt + 1.0) / (ccnt + 65536.0))), 6) AS avg_logp,
+       round(exp(-avg(ln((bcnt + 1.0) / (ccnt + 65536.0)))), 2) AS ppl
+FROM big b JOIN bc USING (prev, cur) JOIN cc USING (prev)
+GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
 _STRATIFIED_SAMPLE_SQL = """
 WITH h AS (
   SELECT source, n_chars,
@@ -2036,6 +2065,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": _q_minhash_verified_pairs,
         "exact_substr_spans": _q_exact_substr_spans,
         "pii_scrub": _q_pii_scrub,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -2054,6 +2084,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "minhash_verified_pairs": _dedup_lsh_sql(est_jaccard_threshold=0.5),
         "exact_substr_spans": _exact_substr_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -392,3 +392,80 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, red.alias("text_redacted")
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_vocab: int = 65536,
+) -> DataFrame:
+    """CCNet-style n-gram language-model perplexity scoring (Wenzek et al.
+    2020, arXiv:1911.00359): train a bigram LM on the corpus itself, then
+    score every document — the classic "filter web text by LM perplexity"
+    quality signal.  CCNet uses a pretrained KenLM; here the model is the
+    corpus's own add-one-smoothed bigram MLE so the operator is
+    self-contained and exactly reproducible, with the hashing-trick twist
+    that the smoothing denominator uses a FIXED vocabulary size
+    ``smoothing_vocab`` (65536 = a 16-bit hashed vocab) instead of the
+    corpus's distinct-type count:
+
+        P(w | c) = (count(c, w) + 1) / (count(c) + smoothing_vocab)
+
+    That constant is what keeps the whole job collect-free — a
+    corpus-derived V would need a global scalar (driver action or 1-row
+    broadcast join) for zero modeling benefit.
+
+    Tokens are single-space-split; each doc is scored as the BOS-anchored
+    bigram chain (BOS, t1), (t1, t2), ..., so every doc contributes exactly
+    ``n_tokens`` scored events.  Output: ``(doc_id, n_tokens, avg_logp,
+    ppl)`` with ``avg_logp`` = mean natural-log probability (round 6) and
+    ``ppl = exp(-avg_logp)`` (round 2 — exp amplifies last-ulp ln()
+    differences between engines, so the headline number gets the coarser
+    contract).
+
+    Physical plan, O(total tokens) end-to-end: one posexplode emits the
+    bigram stream; bigram and context counts are map-side-combined
+    groupBys; scoring re-joins the stream to both count tables with plain
+    equi-joins (every stream bigram exists in the model — inner join, no
+    null path), then one per-doc aggregate.  No driver action, no pair
+    blowup, no Python; AQE broadcasts the count tables when the corpus is
+    small and shuffle-joins on (prev, cur) when it is not.  Hot contexts
+    (stopwords) skew the ctx-count join at 100 TB; that join's build side
+    is tiny (one row per distinct context) so AQE's skew split handles the
+    probe side without salting.
+    """
+    from .. import cache
+
+    toks = F.split(F.col(text_col), " ")
+    big = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.struct(
+                    F.when(i == 1, F.lit(""))
+                    .otherwise(F.element_at(toks, (i - 1).cast("int")))
+                    .alias("prev"),
+                    F.element_at(toks, i.cast("int")).alias("cur"),
+                ),
+            )
+        ).alias("_i", "bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    big = cache.track(big)
+    bc = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
+    cc = big.groupBy("prev").agg(F.count(F.lit(1)).alias("ccnt"))
+    logp = F.log(
+        (F.col("bcnt") + F.lit(1.0))
+        / (F.col("ccnt") + F.lit(float(smoothing_vocab)))
+    )
+    return (
+        big.join(bc, ["prev", "cur"])
+        .join(cc, ["prev"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+        )
+    )

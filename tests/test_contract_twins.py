@@ -56,6 +56,7 @@ def _gate(spark, con, name):
         "minhash_verified_pairs",
         "exact_substr_spans",
         "pii_scrub",
+        "lm_perplexity",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

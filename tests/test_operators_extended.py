@@ -1584,3 +1584,44 @@ class TestPiiScrub:
         # both patterns independently
         assert r["n_email"] == 1 and r["n_ipv4"] == 1
         assert r["text_redacted"] == "ping <EMAIL> end"
+
+
+class TestLmPerplexity:
+    def test_hand_computed_bigram_model(self, spark):
+        import math
+
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["a b a b", "a b"]})
+        )
+        got = {r["doc_id"]: r for r in textop.lm_perplexity(docs).collect()}
+        # corpus bigram stream: doc0 ('',a)(a,b)(b,a)(a,b); doc1 ('',a)(a,b)
+        # counts: ('',a)=2 (a,b)=3 (b,a)=1; ctx ''=2 a=3 b=1; B=65536
+        lp_bos_a = math.log((2 + 1) / (2 + 65536))
+        lp_a_b = math.log((3 + 1) / (3 + 65536))
+        lp_b_a = math.log((1 + 1) / (1 + 65536))
+        avg0 = (lp_bos_a + lp_a_b + lp_b_a + lp_a_b) / 4
+        avg1 = (lp_bos_a + lp_a_b) / 2
+        assert got[0]["n_tokens"] == 4 and got[1]["n_tokens"] == 2
+        assert got[0]["avg_logp"] == round(avg0, 6)
+        assert got[1]["avg_logp"] == round(avg1, 6)
+        assert got[0]["ppl"] == round(math.exp(-avg0), 2)
+        assert got[1]["ppl"] == round(math.exp(-avg1), 2)
+
+    def test_repeated_text_scores_lower_ppl(self, spark):
+        # an LM trained on the corpus must find the duplicated doc more
+        # predictable than the singleton junk doc
+        from geetiles_spark.operators import text as textop
+
+        dup = "the cat sat on the mat and then the cat sat again"
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "text": [dup, dup, dup, "zq xv wk jn pf lb dg rm ts hc"],
+                }
+            )
+        )
+        got = {r["doc_id"]: r["ppl"] for r in textop.lm_perplexity(docs).collect()}
+        assert got[0] == got[1] == got[2] < got[3]
