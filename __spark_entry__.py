@@ -1185,6 +1185,54 @@ FROM injected ORDER BY doc_id
 """
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the lang='en' target; the SQL twin
+    retrains the identical hashed-bigram models, replays the md5 Gumbel
+    noise, and re-ranks — weights, scores, and the selected set all
+    cross-check."""
+    return text.dsir_select(_t(spark, sf_dir, "documents"), k=100)
+
+
+def _dsir_select_sql(k: int = 100, n_buckets: int = 4096, seed: int = 13) -> str:
+    md5_long = lambda arg: " + ".join(  # noqa: E731 — mirrors _STRATIFIED_SAMPLE_SQL
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t FROM documents
+), feat AS (
+  SELECT doc_id, tgt, t[g.i] AS feat
+  FROM toks JOIN generate_series(1, 2000) g(i) ON g.i <= len(t)
+  UNION ALL
+  SELECT doc_id, tgt, t[g.i] || ' ' || t[g.i + 1] AS feat
+  FROM toks JOIN generate_series(1, 2000) g(i) ON g.i <= len(t) - 1
+), fb AS (
+  SELECT doc_id, tgt, ({md5_long('feat')}) % {n_buckets} AS bucket FROM feat
+), ft AS (
+  SELECT bucket,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_cnt,
+         count(*) AS r_cnt
+  FROM fb GROUP BY bucket
+), tot AS (
+  SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rt FROM ft
+), lr AS (
+  SELECT bucket,
+         ln((t_cnt + 1.0) / (tt + {n_buckets}.0))
+           - ln((r_cnt + 1.0) / (rt + {n_buckets}.0)) AS log_ratio
+  FROM ft, tot
+), dw AS (
+  SELECT doc_id, round(sum(log_ratio), 6) AS log_w
+  FROM fb JOIN lr USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, log_w,
+       round(log_w - ln(-ln(
+         ((({md5_long("'g" + str(seed) + "/' || CAST(doc_id AS VARCHAR)")}) % 1000000) + 0.5)
+         / 1000000.0)), 6) AS score
+FROM dw ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal); the SQL twin retrains the identical add-one model, so
@@ -2066,6 +2114,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": _q_exact_substr_spans,
         "pii_scrub": _q_pii_scrub,
         "lm_perplexity": _q_lm_perplexity,
+        "dsir_select": _q_dsir_select,
     }
 
 
@@ -2085,6 +2134,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "exact_substr_spans": _exact_substr_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "dsir_select": _dsir_select_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -394,6 +394,117 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def dsir_select(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    k: int = 100,
+    n_buckets: int = 4096,
+    seed: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169): score every
+    document by how much more likely it is under a hashed-n-gram model of
+    the TARGET distribution (rows where ``target_col == target_value``)
+    than under the raw-corpus model, then Gumbel-top-k sample — the
+    standard "make web data look like the target domain" selection step.
+
+        feature f      = unigrams + space-joined bigrams, hashed into
+                         ``n_buckets`` buckets (md5-prefix hash, the
+                         engine's cross-engine convention)
+        log w(doc)     = sum over doc's feature OCCURRENCES of
+                         ln p_t(f) - ln p_r(f), add-one smoothed
+        score(doc)     = round(log w, 6) + Gumbel(seed, doc_id); the
+                         top-k scores win (Gumbel-max trick == sampling
+                         without replacement proportional to exp(log w))
+
+    Output: the selected k rows ``(doc_id, log_w, score)`` ordered by
+    (score desc, doc_id); both numbers rounded to 6 so the DuckDB twin
+    value-hashes.
+
+    Scale shape: one explode pass over tokens (O(total tokens)); the
+    feature table is groupBy'd to at most ``n_buckets`` rows — the ONLY
+    unpartitioned window in the job (the smoothing totals) runs over that
+    bounded table, never over the corpus; scoring re-joins the stream to
+    the bucket table (AQE broadcasts: <= n_buckets rows by construction);
+    the final selection is orderBy().limit(k) which Spark executes as
+    TakeOrderedAndProject — map-side partial top-k heaps, no global sort,
+    no single-partition shuffle.  No driver action anywhere; the Gumbel
+    noise is the deterministic md5 hash, so results are
+    partition-count-independent.
+    """
+    from pyspark.sql.window import Window
+
+    from .. import cache
+
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(target_col) == target_value).alias("tgt"),
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    feats = cache.track(feats)
+    ft = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("t_cnt"),
+        F.count(F.lit(1)).alias("r_cnt"),
+    )
+    # smoothing totals: a window over the <= n_buckets-row feature table —
+    # bounded by construction, never corpus-sized
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lr = ft.select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1.0) / (F.sum("t_cnt").over(w_all) + float(n_buckets)))
+            - F.log((F.col("r_cnt") + 1.0) / (F.sum("r_cnt").over(w_all) + float(n_buckets)))
+        ).alias("log_ratio"),
+    )
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("/", F.lit(f"g{seed}"), F.col("doc_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+        + 0.5
+    ) / 1_000_000.0
+    return (
+        feats.join(lr, ["bucket"])
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("log_ratio"), 6).alias("log_w"))
+        .select(
+            "doc_id",
+            "log_w",
+            F.round(F.col("log_w") - F.log(-F.log(u)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+
+
 def lm_perplexity(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -57,6 +57,7 @@ def _gate(spark, con, name):
         "exact_substr_spans",
         "pii_scrub",
         "lm_perplexity",
+        "dsir_select",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

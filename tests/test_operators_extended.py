@@ -1625,3 +1625,56 @@ class TestLmPerplexity:
         )
         got = {r["doc_id"]: r["ppl"] for r in textop.lm_perplexity(docs).collect()}
         assert got[0] == got[1] == got[2] < got[3]
+
+
+class TestDsirSelect:
+    def test_target_like_docs_win(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        # 6 "en-like" docs sharing a vocabulary, 6 junk docs with disjoint
+        # unigrams/bigrams; select half -> the en-like docs must dominate
+        en = ["the cat sat on the mat", "the dog sat on the rug",
+              "the cat and the dog", "a cat on a mat",
+              "the mat and the rug", "a dog and a cat"]
+        junk = ["zq xv wk jn", "pf lb dg rm", "ts hc qn vz",
+                "bk wx jz qf", "mv ld gr tp", "cs hn qv zb"]
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(range(12)),
+                    "text": en + junk,
+                    "lang": ["en"] * 6 + ["xx"] * 6,
+                }
+            )
+        )
+        sel = {r["doc_id"] for r in textop.dsir_select(docs, k=6).collect()}
+        assert len(sel & set(range(6))) >= 5
+
+    def test_partition_count_independent(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        base = pd.DataFrame(
+            {
+                "doc_id": list(range(40)),
+                "text": [f"w{i % 7} common word stream t{i % 3}" for i in range(40)],
+                "lang": ["en" if i % 2 == 0 else "de" for i in range(40)],
+            }
+        )
+        a = textop.dsir_select(
+            spark.createDataFrame(base).repartition(1), k=10
+        ).collect()
+        b = textop.dsir_select(
+            spark.createDataFrame(base).repartition(17), k=10
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [1, 2], "text": ["a b", "c d"], "lang": ["en", "de"]}
+            )
+        )
+        plan = textop.dsir_select(docs, k=1)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
