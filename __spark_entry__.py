@@ -1133,6 +1133,49 @@ ORDER BY doc_id, span_start
 """
 
 
+def _q_exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL — the corpus rewrite step; the full cleaned
+    text of every doc is part of the hashed result, so the covered-offset
+    arithmetic and the token-rebuild must agree with DuckDB exactly."""
+    return dedup.exact_substr_scrub(
+        _t(spark, sf_dir, "documents"), k=_EXACT_SUBSTR_K
+    ).orderBy("doc_id")
+
+
+def _exact_substr_scrub_sql(k: int = _EXACT_SUBSTR_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, g.i AS pos,
+         md5(array_to_string(t[g.i:g.i+{k - 1}], ' ')) AS gram_h
+  FROM toks JOIN generate_series(1, 2000) g(i) ON g.i <= len(t) - {k - 1}
+), dup AS (
+  SELECT gram_h FROM pos GROUP BY gram_h HAVING count(*) > 1
+), dp AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram_h)
+), cov AS (
+  SELECT DISTINCT doc_id, dp.pos + g2.j AS p
+  FROM dp JOIN generate_series(0, {k - 1}) g2(j) ON TRUE
+), kept AS (
+  SELECT tk.doc_id, g.i AS p, t[g.i] AS tok
+  FROM toks tk JOIN generate_series(1, 2000) g(i) ON g.i <= len(t)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = tk.doc_id AND c.p = g.i
+  )
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) - coalesce(n_kept, 0) AS INTEGER)
+         AS n_removed,
+       coalesce(text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+
+
 def _pii_injected(docs: DataFrame) -> DataFrame:
     """Deterministically salt every 7th doc with one email, one phone, and
     one IPv4 derived from its id — the natural corpus contains no PII, so
@@ -2112,6 +2155,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": _q_video_frame_stats,
         "minhash_verified_pairs": _q_minhash_verified_pairs,
         "exact_substr_spans": _q_exact_substr_spans,
+        "exact_substr_scrub": _q_exact_substr_scrub,
         "pii_scrub": _q_pii_scrub,
         "lm_perplexity": _q_lm_perplexity,
         "dsir_select": _q_dsir_select,
@@ -2132,6 +2176,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "video_frame_stats": _oracle_mod().video_frame_stats_oracle_sql(500),
         "minhash_verified_pairs": _dedup_lsh_sql(est_jaccard_threshold=0.5),
         "exact_substr_spans": _exact_substr_sql(),
+        "exact_substr_scrub": _exact_substr_scrub_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "dsir_select": _dsir_select_sql(),

@@ -689,6 +689,95 @@ def dedup_components(
     )
 
 
+def _dup_window_positions(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared first stage of the ExactSubstr pair: ``(doc_id, pos)`` rows
+    for every 1-based token offset whose ``k``-token window occurs >= 2x
+    corpus-wide.  One tokenize + posexplode pass (O(total tokens), whole-
+    stage codegen), a map-side-combined gram-count groupBy, and a left-semi
+    equi-join back onto the stream — AQE broadcasts the dup-gram set when
+    small and splits skewed grams when not."""
+    toks = F.split(F.col(text_col), " ")
+    n_win = F.size(toks) - (k - 1)
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(wins).alias("pos0", "gram_h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_h")
+    # pos feeds both the dup-gram agg and the semi-join probe side —
+    # cache.track so command/query boundaries unpersist it
+    pos = cache.track(pos)
+    dup = (
+        pos.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("gram_h")
+    )
+    return pos.join(dup, "gram_h", "left_semi").select("doc_id", "pos")
+
+
+def exact_substr_scrub(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al. 2022,
+    arXiv:2107.06499 §4.2): rewrite every document with all duplicated-span
+    tokens cut out — a token survives iff NO duplicated ``k``-window covers
+    it.  This is the step that actually changes the training corpus; see
+    :func:`exact_substr_spans` for the detection-side semantics and the
+    suffix-array equivalence argument.
+
+    Output: one row per input document — ``(doc_id, n_removed,
+    text_clean)``; a fully-duplicated doc comes back with ``text_clean =
+    ''``, an untouched doc with ``n_removed = 0`` and its original text.
+
+    Physical plan on top of the shared duplicated-window stage: each dup
+    window start explodes to its <= ``k`` covered offsets (output stays
+    O(duplicated tokens)); one groupBy(doc) collect_set gathers the covered
+    offsets (bounded by tokens-per-doc); a doc_id equi-join hands each doc
+    its covered set; the rebuild is a single lambda-indexed ``F.filter`` +
+    ``concat_ws`` over the token array — JVM-side, no second explode of the
+    token stream and no per-token shuffle.  Total: the two ExactSubstr
+    shuffles plus one join on ``doc_id``.
+    """
+    dp = _dup_window_positions(docs, k, id_col, text_col)
+    covset = (
+        dp.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("cov"), i + 1), F.lit(False)
+        ),
+    )
+    return (
+        base.join(covset, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            (F.size("t") - F.size(kept)).cast("int").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("text_clean"),
+        )
+    )
+
+
 def exact_substr_spans(
     docs: DataFrame,
     k: int = 8,
@@ -732,29 +821,7 @@ def exact_substr_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.col(text_col), " ")
-    n_win = F.size(toks) - (k - 1)
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(wins).alias("pos0", "gram_h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_h")
-    # pos feeds both the dup-gram agg and the semi-join probe side —
-    # cache.track so command/query boundaries unpersist it
-    pos = cache.track(pos)
-    dup = (
-        pos.groupBy("gram_h")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") > 1)
-        .select("gram_h")
-    )
-    dup_pos = pos.join(dup, "gram_h", "left_semi")
+    dup_pos = _dup_window_positions(docs, k, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup_pos.withColumn(
         "brk",

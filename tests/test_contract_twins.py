@@ -55,6 +55,7 @@ def _gate(spark, con, name):
         "video_frame_stats",
         "minhash_verified_pairs",
         "exact_substr_spans",
+        "exact_substr_scrub",
         "pii_scrub",
         "lm_perplexity",
         "dsir_select",

@@ -1678,3 +1678,53 @@ class TestDsirSelect:
         )
         plan = textop.dsir_select(docs, k=1)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestExactSubstrScrub:
+    def _scrub(self, spark, rows, k=3):
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(range(len(rows))), "text": rows})
+        )
+        return {
+            r["doc_id"]: (r["n_removed"], r["text_clean"])
+            for r in dedup.exact_substr_scrub(docs, k=k).collect()
+        }
+
+    def test_shared_span_cut_from_both_docs(self, spark):
+        got = self._scrub(
+            spark, ["x y c d e tail", "q c d e", "nothing shared here at all"]
+        )
+        assert got[0] == (3, "x y tail")
+        assert got[1] == (3, "q")
+        assert got[2] == (0, "nothing shared here at all")
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        got = self._scrub(spark, ["a b c", "a b c"])
+        assert got[0] == (3, "") and got[1] == (3, "")
+
+    def test_matches_spans_coverage(self, spark):
+        # scrub's removed-token count per doc == union of span coverage
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "p q c d e f tail c d e f",
+                        "c d e f r s",
+                        "solo words only here",
+                    ],
+                }
+            )
+        )
+        spans = dedup.exact_substr_spans(docs, k=3).collect()
+        cov = {}
+        for r in spans:
+            cov.setdefault(r["doc_id"], set()).update(
+                range(r["span_start"], r["span_start"] + r["span_len"])
+            )
+        scrub = {
+            r["doc_id"]: r["n_removed"]
+            for r in dedup.exact_substr_scrub(docs, k=3).collect()
+        }
+        for did in [0, 1, 2]:
+            assert scrub[did] == len(cov.get(did, set()))
