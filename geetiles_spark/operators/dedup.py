@@ -697,23 +697,41 @@ def _dup_window_positions(
     corpus-wide.  One tokenize + posexplode pass (O(total tokens), whole-
     stage codegen), a map-side-combined gram-count groupBy, and a left-semi
     equi-join back onto the stream — AQE broadcasts the dup-gram set when
-    small and splits skewed grams when not."""
-    toks = F.split(F.col(text_col), " ")
-    n_win = F.size(toks) - (k - 1)
+    small and splits skewed grams when not.
+
+    Two deliberate expression/caching choices, both measured on a 52k-doc
+    corpus at local[8] (scripts/exactsubstr_scaling_bench.py):
+
+    - the token array is HOISTED into its own projection attribute before
+      the window lambda.  Catalyst does no common-subexpression
+      elimination across lambda boundaries, so an inlined ``split(text)``
+      re-executes per window inside ``transform`` — 2.5x slower on the
+      explode stage alone;
+    - ``pos`` is intentionally NOT persisted.  It feeds two consumers (the
+      gram-count agg and the semi-join probe), and a lazily-cached block
+      materialized by two AQE-concurrent map stages serializes behind the
+      BlockManager's per-block write lock (measured: minutes-long
+      straggler creep at local[8] vs seconds at local[2]).  Recomputing
+      the cheap hoisted map twice costs two corpus scans — at 100 TB that
+      beats caching an O(total tokens) intermediate in executor memory,
+      and it removes the lock contention entirely."""
+    t = F.col("t")
+    n_win = F.size(t) - (k - 1)
     wins = F.when(
         n_win >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(wins).alias("pos0", "gram_h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_h")
-    # pos feeds both the dup-gram agg and the semi-join probe side —
-    # cache.track so command/query boundaries unpersist it
-    pos = cache.track(pos)
+    pos = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("t"),
+        )
+        .select("doc_id", F.posexplode(wins).alias("pos0", "gram_h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_h")
+    )
     dup = (
         pos.groupBy("gram_h")
         .agg(F.count(F.lit(1)).alias("occ"))

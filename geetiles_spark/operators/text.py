@@ -126,17 +126,23 @@ def repetition_signals(
             F.max("cnt").alias("top_cnt"),
         )
     )
+    # the token array must be an ATTRIBUTE inside the bigram lambda:
+    # Catalyst does no CSE across lambda boundaries, so an inlined
+    # filter(split(text)) would re-evaluate per element — O(n^2) per doc
+    ta = F.col("_ta")
     bigrams = F.when(
-        F.size(toks_arr) >= 2,
+        F.size(ta) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks_arr) - 1),
+            F.sequence(F.lit(1), F.size(ta) - 1),
             lambda i: F.concat(
-                F.element_at(toks_arr, i), F.lit(" "), F.element_at(toks_arr, i + 1)
+                F.element_at(ta, i), F.lit(" "), F.element_at(ta, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("doc_id"), toks_arr.alias("_ta")
+    ).select(
+        "doc_id",
         F.size(bigrams).alias("n_bigrams"),
         F.size(F.array_distinct(bigrams)).alias("n_distinct_bg"),
     )
@@ -182,16 +188,19 @@ def ngram_contamination(
     corpus never self-joins — contrast :func:`~.dedup.ngram_jaccard_pairs`
     which compares all pairs.
     """
-    toks = F.split(F.col(text_col), " ")
+    # token array hoisted to an attribute — no CSE across lambda
+    # boundaries, so an inlined split(text) would re-run per gram
+    tok = F.col("_tk")
     grams_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
         )
     )
     grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams_arr).alias("gram")
-    )
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_tk"),
+    ).select("doc_id", F.explode(grams_arr).alias("gram"))
     lits = [F.lit(e) for e in eval_ids]
     eval_grams = grams.filter(F.col("doc_id").isin(*lits)).select("gram").distinct()
     shared = (
@@ -437,33 +446,40 @@ def dsir_select(
     """
     from pyspark.sql.window import Window
 
-    from .. import cache
-
-    toks = F.split(F.col(text_col), " ")
+    # token array hoisted; feature stream not persisted (two consumers) —
+    # same lambda-CSE + cache-lock rationale as _dup_window_positions
+    tok = F.col("t")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(tok) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            F.sequence(F.lit(1), F.greatest(F.size(tok) - 1, F.lit(1))),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i.cast("int")),
-                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(tok, i.cast("int")),
+                F.element_at(tok, (i + 1).cast("int")),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(target_col) == target_value).alias("tgt"),
-        F.explode(F.concat(toks, bigrams)).alias("feat"),
-    ).select(
-        "doc_id",
-        "tgt",
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ).alias("bucket"),
+    feats = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(target_col) == target_value).alias("tgt"),
+            F.split(F.col(text_col), " ").alias("t"),
+        )
+        .select(
+            "doc_id",
+            "tgt",
+            F.explode(F.concat(tok, bigrams)).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            "tgt",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
     )
-    feats = cache.track(feats)
     ft = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("t_cnt"),
         F.count(F.lit(1)).alias("r_cnt"),
@@ -546,24 +562,34 @@ def lm_perplexity(
     is tiny (one row per distinct context) so AQE's skew split handles the
     probe side without salting.
     """
-    from .. import cache
-
-    toks = F.split(F.col(text_col), " ")
-    big = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks)),
-                lambda i: F.struct(
-                    F.when(i == 1, F.lit(""))
-                    .otherwise(F.element_at(toks, (i - 1).cast("int")))
-                    .alias("prev"),
-                    F.element_at(toks, i.cast("int")).alias("cur"),
-                ),
-            )
-        ).alias("_i", "bg"),
-    ).select("doc_id", "bg.prev", "bg.cur")
-    big = cache.track(big)
+    # token array hoisted to an attribute (no CSE across lambda
+    # boundaries) and the bigram stream deliberately NOT persisted — it
+    # has three consumers, and lazily-cached blocks materialized by
+    # AQE-concurrent map stages serialize behind the BlockManager write
+    # lock (see _dup_window_positions, same measured pathology); three
+    # cheap hoisted map passes beat caching an O(tokens) intermediate
+    tok = F.col("t")
+    big = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok)),
+                    lambda i: F.struct(
+                        F.when(i == 1, F.lit(""))
+                        .otherwise(F.element_at(tok, (i - 1).cast("int")))
+                        .alias("prev"),
+                        F.element_at(tok, i.cast("int")).alias("cur"),
+                    ),
+                )
+            ).alias("_i", "bg"),
+        )
+        .select("doc_id", "bg.prev", "bg.cur")
+    )
     bc = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
     cc = big.groupBy("prev").agg(F.count(F.lit(1)).alias("ccnt"))
     logp = F.log(
