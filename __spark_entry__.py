@@ -1228,6 +1228,32 @@ FROM injected ORDER BY doc_id
 """
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-256 corpus vocabulary with coverage curve; rank, counts, and
+    both rounded fractions are value-hashed against the SQL twin."""
+    return text.vocab_topk(_t(spark, sf_dir, "documents"), k=256)
+
+
+_VOCAB_TOPK_SQL = """
+WITH counts AS (
+  SELECT t.token, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY t.token
+), topk AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 256
+), tot AS (
+  SELECT sum(cnt) AS tt FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+       token, cnt,
+       round(cnt / tt, 6) AS frac,
+       round(sum(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / tt, 6) AS cum_frac
+FROM topk, tot ORDER BY rank
+"""
+
+
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward the lang='en' target; the SQL twin
     retrains the identical hashed-bigram models, replays the md5 Gumbel
@@ -2159,6 +2185,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "lm_perplexity": _q_lm_perplexity,
         "dsir_select": _q_dsir_select,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -2180,6 +2207,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "dsir_select": _dsir_select_sql(),
+        "vocab_topk": _VOCAB_TOPK_SQL,
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -403,6 +403,62 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary building: the top-``k`` corpus tokens by
+    frequency with corpus-fraction and cumulative coverage — the
+    frequency-table step every tokenizer build (BPE, WordPiece, unigram-LM)
+    starts from, and the coverage curve that picks the vocab size.
+
+    Output: ``(rank, token, cnt, frac, cum_frac)`` ordered by rank; ties
+    broken by token text so the ranking is total and engine-independent.
+    ``frac``/``cum_frac`` rounded to 6.
+
+    Scale shape: one explode + map-side-combined count (the only
+    corpus-sized shuffle); top-k via orderBy().limit() =
+    TakeOrderedAndProject (per-partition heaps of k, no global sort); the
+    global token total rides a 1-row broadcast attach (Catalyst constant-
+    folds the literal key into an Identity broadcast: k probe rows x one
+    build row, O(k)).  The
+    rank/cum_frac window runs over the k-row result only, never the vocab.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = (
+        counts.orderBy(F.desc("cnt"), "token")
+        .limit(k)
+        .withColumn("_k", F.lit(1))
+    )
+    total = counts.agg(F.sum("cnt").alias("_tot")).withColumn("_k", F.lit(1))
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        topk.join(F.broadcast(total), "_k")
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("frac"),
+            F.round(
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("_tot"),
+                6,
+            ).alias("cum_frac"),
+        )
+        .orderBy("rank")
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_col: str = "lang",

@@ -59,6 +59,7 @@ def _gate(spark, con, name):
         "pii_scrub",
         "lm_perplexity",
         "dsir_select",
+        "vocab_topk",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

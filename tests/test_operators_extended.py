@@ -1728,3 +1728,35 @@ class TestExactSubstrScrub:
         }
         for did in [0, 1, 2]:
             assert scrub[did] == len(cov.get(did, set()))
+
+
+class TestVocabTopk:
+    def test_hand_counts_and_coverage(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [0, 1], "text": ["a a a b b c", "a b z"]}
+            )
+        )
+        rows = textop.vocab_topk(docs, k=3).collect()
+        # counts: a=4 b=3 c=1 z=1 (tot 9); top3 ties broken by token text
+        assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
+            (1, "a", 4), (2, "b", 3), (3, "c", 1)
+        ]
+        assert rows[0]["frac"] == round(4 / 9, 6)
+        assert rows[2]["cum_frac"] == round(8 / 9, 6)
+
+    def test_topk_plan_is_take_ordered_with_hash_join(self, spark):
+        from geetiles_spark.operators import text as textop
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["x y"]})
+        )
+        df = textop.vocab_topk(docs, k=2)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # the global-total attach constant-folds to a ONE-row Identity
+        # broadcast (benign BNLJ: k probe rows x 1 build row)
+        assert "IdentityBroadcastMode" in plan

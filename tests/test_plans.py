@@ -21,7 +21,10 @@ SF = "/root/testdata/sf0.001"
 
 # bbox theta join vs broadcast event catalog: BNLJ is the right physical
 # plan for a ~25-row broadcast side; everything else must be hash/equi
-BNLJ_ALLOWED = {"interval_spatial_join", "interval_spatial_join_exact"}
+# vocab_topk: Catalyst constant-folds the literal join key of the 1-row
+# global-total attach into an Identity broadcast -> BNLJ with a ONE-row
+# build side over k<=256 probe rows (O(k) work, the optimal scalar attach)
+BNLJ_ALLOWED = {"interval_spatial_join", "interval_spatial_join_exact", "vocab_topk"}
 
 
 def _all_queries():
