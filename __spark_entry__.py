@@ -1254,6 +1254,146 @@ FROM topk, tot ORDER BY rank
 """
 
 
+def _chunked_text(docs: DataFrame, k: int, sep: str) -> DataFrame:
+    """Salted-input builder shared by the paragraph/line contract queries:
+    the flat word-stream documents carry no newlines, so structure is
+    derived deterministically — the token stream re-chunked into ``k``-word
+    pieces joined by ``sep`` (the pii_scrub salting pattern).  The token
+    array is hoisted to an attribute before the chunk lambda (no CSE
+    across lambda boundaries)."""
+    toks = docs.select(
+        F.col("doc_id"), F.split(F.col("text"), " ").alias("t")
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * k + 1, F.lit(k))),
+    )
+    return toks.select("doc_id", F.concat_ws(sep, chunks).alias("text"))
+
+
+_PARA_K = 4
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact duplicate-paragraph removal over the re-chunked
+    documents (4-word paragraphs give a natural duplicate mix at every sf:
+    ~800 duplicated paragraph rows at sf0.01, ~12.7k at sf0.1); the full
+    cleaned text of every doc is value-hashed against the SQL twin, so the
+    first-occurrence election and the rebuild order are both gated."""
+    return dedup.paragraph_dedup(
+        _chunked_text(_t(spark, sf_dir, "documents"), _PARA_K, "\n\n")
+    ).orderBy("doc_id")
+
+
+_PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), paras AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(t[g.i*{_PARA_K}+1 : g.i*{_PARA_K}+{_PARA_K}], ' ') AS para
+  FROM toks JOIN generate_series(0, 511) g(i) ON g.i*{_PARA_K} < len(t)
+), marked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1
+           AS keep
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INTEGER) AS n_removed,
+       coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text_clean
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_C4_K = 6
+
+
+def _c4_salted(docs: DataFrame) -> DataFrame:
+    """C4 contract input: 6-word lines, terminal '.' appended iff the
+    line's md5 leads with hex 0-7 (so ~half the lines fail the punctuation
+    rule), plus page-level salts — every 13th doc gains a lorem-ipsum
+    line, every 17th a javascript line, every 19th a brace line — so both
+    engines score known positives for every rule."""
+    lines = F.transform(
+        F.split(F.col("text"), "\n", -1),
+        lambda c: F.when(
+            F.substring(F.md5(c), 1, 1) <= "7", F.concat(c, F.lit("."))
+        ).otherwise(c),
+    )
+    txt = F.concat_ws("\n", lines)
+    did = F.col("doc_id")
+    for mod, salt in _C4_SALTS:
+        txt = F.when(
+            did % mod == 0, F.concat(txt, F.lit("\n" + salt))
+        ).otherwise(txt)
+    return docs.select("doc_id", txt.alias("text"))
+
+
+_C4_SALTS = [
+    (13, "Lorem ipsum dolor sit amet consectetur adipiscing elit."),
+    (17, "Please enable javascript to view the page content."),
+    (19, "var x = { a: 1 };"),
+]
+
+
+def _q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+page cleaning over the salted corpus; the cleaned text and
+    the page-keep bit are both value-hashed, so the punctuation / word-
+    count / javascript line rules and the lorem / brace / line-floor page
+    rules must all agree with the SQL twin."""
+    return text.c4_line_filters(
+        _c4_salted(_chunked_text(_t(spark, sf_dir, "documents"), _C4_K, "\n"))
+    ).orderBy("doc_id")
+
+
+def _c4_sql() -> str:
+    salts = "".join(
+        f"\n           || CASE WHEN doc_id % {mod} = 0"
+        f" THEN chr(10) || '{salt.replace(chr(39), chr(39) * 2)}'"
+        " ELSE '' END"
+        for mod, salt in _C4_SALTS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(t[g.i*{_C4_K}+1 : g.i*{_C4_K}+{_C4_K}], ' ') AS c
+  FROM toks JOIN generate_series(0, 511) g(i) ON g.i*{_C4_K} < len(t)
+), salted AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN substr(md5(c), 1, 1) <= '7'
+                         THEN c || '.' ELSE c END,
+                    chr(10) ORDER BY pos){salts}
+           AS text
+  FROM chunks GROUP BY doc_id
+), lns AS (
+  SELECT doc_id, text, g.i AS pos, ls[g.i] AS l
+  FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM salted) s
+  JOIN generate_series(1, 2048) g(i) ON g.i <= len(ls)
+), judged AS (
+  SELECT doc_id, text, pos, l,
+         (right(l, 1) IN ('.', '!', '?', '"')
+          AND len(string_split(trim(l), ' ')) >= 5
+          AND NOT contains(lower(l), 'javascript')) AS keep
+  FROM lns
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+       CAST((NOT contains(lower(any_value(text)), 'lorem ipsum')
+             AND NOT contains(any_value(text), '{{')
+             AND sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3) AS INTEGER)
+         AS keep_doc,
+       coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
+         AS text_clean
+FROM judged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward the lang='en' target; the SQL twin
     retrains the identical hashed-bigram models, replays the md5 Gumbel
@@ -2186,6 +2326,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "dsir_select": _q_dsir_select,
         "vocab_topk": _q_vocab_topk,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "c4_line_filters": _q_c4_line_filters,
     }
 
 
@@ -2208,6 +2350,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_SQL,
         "dsir_select": _dsir_select_sql(),
         "vocab_topk": _VOCAB_TOPK_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "c4_line_filters": _c4_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -859,3 +859,64 @@ def exact_substr_spans(
         )
         .select("doc_id", "span_start", "span_len", "n_windows")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-paragraph removal (MassiveText / Gopher, Rae et al.
+    2021, arXiv:2112.11446 §A.1.2 "remove all exact duplicate paragraphs";
+    the paragraph-granularity sibling of :func:`exact_substr_scrub`): any
+    paragraph whose exact text occurs more than once corpus-wide survives
+    only at its FIRST occurrence — first in the total order ``(doc_id,
+    position)``, so the result is deterministic and partition-independent.
+    Unique paragraphs always survive.  No reference analog (the reference
+    never handles text; nearest pattern is the keep-first rule of its
+    ``skip_if_exists`` chip loop, ``partitions.py:441-445``).
+
+    Output: one row per input document — ``(doc_id, n_paras, n_removed,
+    text_clean)`` with ``text_clean`` the surviving paragraphs re-joined
+    by ``sep`` in original order ('' when everything was removed).
+
+    Physical plan: one split + posexplode pass (O(total paragraphs),
+    whole-stage codegen); first-occurrence election is a map-side-combined
+    ``min(struct(doc_id, pos))`` groupBy keyed on ``md5(paragraph)`` — the
+    128-bit key, not the paragraph text, is what shuffles twice (agg +
+    equi-join back), so shuffle width stays bounded at 100 TB no matter
+    how long paragraphs get; the rebuild is one groupBy(doc) with
+    ``array_sort`` over collected ``(pos, para)`` structs (bounded by
+    paragraphs-per-doc).  ``collect_list`` drops the NULLs that the keep
+    filter leaves, so survivors regroup without a second pass.  No pair
+    materialization; output is O(documents).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+    ).withColumn("para_h", F.md5(F.col("para")))
+    firsts = paras.groupBy("para_h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    keep = (F.col("doc_id") == F.col("first.doc_id")) & (
+        F.col("pos") == F.col("first.pos")
+    )
+    marked = paras.join(firsts, "para_h").select(
+        "doc_id", "pos", "para", keep.alias("keep")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paras"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("int")
+            .alias("n_removed"),
+            F.concat_ws(
+                sep, F.transform(kept_structs, lambda s: s["para"])
+            ).alias("text_clean"),
+        )
+    )

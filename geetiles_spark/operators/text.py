@@ -662,3 +662,65 @@ def lm_perplexity(
             F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
         )
     )
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2, the rules that built the C4 corpus): a line survives iff it ends
+    in a terminal punctuation mark (``. ! ? "``), has at least
+    ``min_words`` whitespace words, and does not mention "javascript"
+    (case-insensitive); the page itself is dropped when it contains
+    "lorem ipsum" (case-insensitive) or a ``{`` (code marker), or when
+    fewer than ``min_kept_lines`` lines survive.  Deliberate simplification
+    vs the paper, named so the parity claim is honest: C4 counts three
+    *sentences* for the page floor — this uses surviving *lines* (the
+    paper's own unit for every other rule); the bad-words list is a
+    production extension (more predicates in the same lambda, zero plan
+    change).  No reference analog (the reference never handles text).
+
+    Output: one row per input document — ``(doc_id, n_lines, n_kept,
+    keep_doc, text_clean)``; ``text_clean`` is the surviving lines
+    re-joined by newline (computed even for dropped pages, so downstream
+    can audit what the page-level rules rejected).
+
+    Scale shape: a pure projection — split, one ``F.filter`` lambda over
+    the line array, concat_ws — whole-stage-free HOF but zero shuffle,
+    zero Python, pushdown-transparent; at 100 TB this is a map-only pass
+    whose cost is the line scan itself.  The line array is hoisted to an
+    attribute first (Catalyst does no CSE across lambda boundaries — the
+    repo-wide rule measured in BENCH/LLM_SCALING.md round-6 addendum 2).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.split(F.col(text_col), "\n", -1).alias("_lines"),
+    )
+
+    def _keep(l):  # noqa: E741 - mirrors the paper's "line" naming
+        last = F.substring(l, -1, 1)
+        return (
+            last.isin(".", "!", "?", '"')
+            & (F.size(F.split(F.trim(l), " +")) >= min_words)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(F.col("_lines"), _keep)
+    n_kept = F.size(kept)
+    page_ok = (
+        ~F.contains(F.lower(F.col("_text")), F.lit("lorem ipsum"))
+        & ~F.contains(F.col("_text"), F.lit("{"))
+        & (n_kept >= min_kept_lines)
+    )
+    return lines.select(
+        "doc_id",
+        F.size("_lines").cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        page_ok.cast("int").alias("keep_doc"),
+        F.concat_ws("\n", kept).alias("text_clean"),
+    )

@@ -60,6 +60,8 @@ def _gate(spark, con, name):
         "lm_perplexity",
         "dsir_select",
         "vocab_topk",
+        "paragraph_dedup",
+        "c4_line_filters",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):
