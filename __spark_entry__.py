@@ -1311,7 +1311,7 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 _C4_K = 6
 
 
-def _c4_salted(docs: DataFrame) -> DataFrame:
+def _c4_salted(docs: DataFrame, salts=None) -> DataFrame:
     """C4 contract input: 6-word lines, terminal '.' appended iff the
     line's md5 leads with hex 0-7 (so ~half the lines fail the punctuation
     rule), plus page-level salts — every 13th doc gains a lorem-ipsum
@@ -1325,7 +1325,7 @@ def _c4_salted(docs: DataFrame) -> DataFrame:
     )
     txt = F.concat_ws("\n", lines)
     did = F.col("doc_id")
-    for mod, salt in _C4_SALTS:
+    for mod, salt in (_C4_SALTS if salts is None else salts):
         txt = F.when(
             did % mod == 0, F.concat(txt, F.lit("\n" + salt))
         ).otherwise(txt)
@@ -1349,13 +1349,14 @@ def _q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _c4_sql() -> str:
+def _c4_sql(salt_rows=None, order: bool = True) -> str:
     salts = "".join(
         f"\n           || CASE WHEN doc_id % {mod} = 0"
         f" THEN chr(10) || '{salt.replace(chr(39), chr(39) * 2)}'"
         " ELSE '' END"
-        for mod, salt in _C4_SALTS
+        for mod, salt in (_C4_SALTS if salt_rows is None else salt_rows)
     )
+    tail = "ORDER BY doc_id" if order else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1390,7 +1391,68 @@ SELECT doc_id,
          AS keep_doc,
        coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
          AS text_clean
-FROM judged GROUP BY doc_id ORDER BY doc_id
+FROM judged GROUP BY doc_id {tail}
+"""
+
+
+_FOOTER_SALT = (5, "all rights reserved by the example site.")
+
+
+def _q_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed cleaning pipeline — the RefinedWeb shape (C4 line/page
+    rules, then cross-page boilerplate LINE dedup over the surviving
+    pages): c4_line_filters -> keep_doc filter -> paragraph_dedup at
+    newline granularity.  An extra salt plants the classic boilerplate — a
+    rights-reserved footer on every 5th page — which survives the line
+    rules and must then be removed from all but its first page by the
+    dedup stage.  Demonstrates the operators compose (the cleaned-text
+    column of one is the text column of the next) and that their SQL
+    oracles compose the same way."""
+    salts = _C4_SALTS + [_FOOTER_SALT]
+    cleaned = text.c4_line_filters(
+        _c4_salted(
+            _chunked_text(_t(spark, sf_dir, "documents"), _C4_K, "\n"),
+            salts,
+        )
+    )
+    pages = cleaned.where(F.col("keep_doc") == 1).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    return (
+        dedup.paragraph_dedup(pages, sep="\n")
+        .select(
+            "doc_id",
+            F.col("n_paras").alias("n_lines"),
+            F.col("n_removed").alias("n_boilerplate"),
+            F.col("text_clean").alias("text_final"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cleaning_pipeline_sql() -> str:
+    c4 = _c4_sql(_C4_SALTS + [_FOOTER_SALT], order=False)
+    return f"""
+WITH c4 AS ({c4}
+), pages AS (
+  SELECT doc_id, text_clean AS text FROM c4 WHERE keep_doc = 1
+), lns2 AS (
+  SELECT doc_id, g.i AS pos, ls[g.i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages) s
+  JOIN generate_series(1, 2048) g(i) ON g.i <= len(ls)
+), marked2 AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1
+           AS keep
+  FROM lns2
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS INTEGER)
+         AS n_boilerplate,
+       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep),
+                '') AS text_final
+FROM marked2 GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -2328,6 +2390,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "paragraph_dedup": _q_paragraph_dedup,
         "c4_line_filters": _q_c4_line_filters,
+        "cleaning_pipeline": _q_cleaning_pipeline,
     }
 
 
@@ -2352,6 +2415,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "vocab_topk": _VOCAB_TOPK_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "c4_line_filters": _c4_sql(),
+        "cleaning_pipeline": _cleaning_pipeline_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "pip_join",
     "knn_points",
+    # new r6: ExactSubstr duplicated-span detection (Lee et al. 2022) —
+    # the dedup family's span-level member; added to the suite so the
+    # driver's BENCH tracks it (r4/r5 totals compare like-for-like by
+    # excluding this entry; see BENCH/BASELINE.md round-6 note)
+    "exact_substr_spans",
 ]
 
 

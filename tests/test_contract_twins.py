@@ -62,6 +62,7 @@ def _gate(spark, con, name):
         "vocab_topk",
         "paragraph_dedup",
         "c4_line_filters",
+        "cleaning_pipeline",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

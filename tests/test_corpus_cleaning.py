@@ -135,3 +135,53 @@ class TestC4LineFilters:
         assert out[4]["keep_doc"] == 0  # < 3 surviving lines
         # text_clean still computed for dropped pages (audit trail)
         assert out[2]["text_clean"].startswith("first good line")
+
+
+class TestCleaningIdempotence:
+    """Both cleaners are idempotent — the fixed-point property that lets a
+    100-TB pipeline re-run a stage after partial failure without tracking
+    which partitions already passed through it."""
+
+    def test_paragraph_dedup_idempotent(self, spark):
+        rows = [
+            (i, " ".join(f"w{(i * 3 + j) % 4}" for j in range(6)))
+            for i in range(30)
+        ]
+        once = dedup.paragraph_dedup(_docs(spark, rows))
+        again = dedup.paragraph_dedup(
+            once.select("doc_id", F.col("text_clean").alias("text"))
+        )
+        a = {r["doc_id"]: r["text_clean"] for r in once.collect()}
+        b = {
+            r["doc_id"]: (r["text_clean"], r["n_removed"])
+            for r in again.collect()
+        }
+        # after removal every surviving paragraph is globally unique
+        # (except the empty-string paragraphs of fully-emptied docs,
+        # which dedup again to the single first empty doc — exclude them)
+        for did, (txt, nrem) in b.items():
+            if a[did] != "":
+                assert nrem == 0 and txt == a[did]
+
+    def test_c4_idempotent(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (
+                    1,
+                    "a good line of five words.\n"
+                    "too short.\n"
+                    "another good line of five words!\n"
+                    "a third good line right here.\n"
+                    "a fourth good line right here?",
+                )
+            ],
+        )
+        once = text.c4_line_filters(docs).first()
+        again = text.c4_line_filters(
+            _docs(spark, [(1, once["text_clean"])])
+        ).first()
+        assert again["n_lines"] == once["n_kept"]
+        assert again["n_kept"] == once["n_kept"]
+        assert again["text_clean"] == once["text_clean"]
+        assert again["keep_doc"] == 1
