@@ -207,6 +207,24 @@ def _q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-ring-expansion kNN over the TRUE S2 index (geo/s2.py: quadratic
+    projection + Hilbert curve — the north rule's 'batched H3/S2 cell
+    encoding').  Same brute-force haversine SQL oracle as knn_points: the
+    cell stage only generates candidates, the refine is exact, so the index
+    choice cannot change the result."""
+    pts = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS id",
+        f"6.0 + {_PX} / 50 AS lon",
+        f"49.6 + {_PY} / 50 AS lat",
+    )
+    out = joins.knn_join_cells(pts, _KNN_QUERIES, k=10, index="s2")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("point_id").asc())
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "rank", "point_id", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
 def _knn_sql() -> str:
     qs = " UNION ALL ".join(
         f"SELECT '{q}' AS query_id, {lon} AS qlon, {lat} AS qlat"
@@ -2391,6 +2409,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "c4_line_filters": _q_c4_line_filters,
         "cleaning_pipeline": _q_cleaning_pipeline,
+        "knn_points_s2": _q_knn_s2,
     }
 
 
@@ -2416,6 +2435,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "c4_line_filters": _c4_sql(),
         "cleaning_pipeline": _cleaning_pipeline_sql(),
+        "knn_points_s2": _knn_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import cache
-from ..geo import cells, geom
+from ..geo import cells, geom, s2
 
 # --------------------------------------------------------------------------
 # foreign-set representation
@@ -980,6 +980,7 @@ def knn_join_cells(
     lat_col: str = "lat",
     id_col: str = "id",
     max_rings: int = 64,
+    index: str = "flat",
 ) -> DataFrame:
     """Cell-ring-expansion kNN (north-rule operator): candidates come only
     from grid cells within an expanding Chebyshev ring around each query.
@@ -996,16 +997,32 @@ def knn_join_cells(
     Result-identical with :func:`knn_join` (cross-tested) provided the
     safety-ring invariant holds, which the +1 Chebyshev ring guarantees for
     any convex metric on a uniform grid away from the antimeridian.
+
+    ``index='s2'`` assigns points to TRUE S2 cells (:mod:`..geo.s2`:
+    quadratic projection + Hilbert curve) and expands rings by batched BFS
+    over the cube-face adjacency.  The result is BIT-IDENTICAL to the flat
+    index (the cell stage only generates candidates; the haversine refine
+    is exact) — the index choice is performance-only.  S2 cells are
+    near-uniform on the sphere, so the safety extension needs no 1/cos(lat)
+    stretch; instead it uses the published quadratic-projection metrics
+    (min-width / max-diag), and the 2r+1 factor accounts for a BFS layer
+    spanning up to two cells per step (see :func:`..geo.s2.bfs_rings`).
+    At 10^12 rows the S2 id doubles as the table's range-partitioning /
+    clustering key: Hilbert locality keeps spatially-close rows in the same
+    file, which the flat index's latitude-stretched cells cannot.
     """
     spark = points.sparkSession
+    if index not in ("flat", "s2"):
+        raise ValueError(f"index must be flat|s2, got {index!r}")
     if level is None:
         # aim for >= ~4k points per cell region at default level: pick from
         # bounding box of queries vs a coarse default
         level = 12
+    enc = s2 if index == "s2" else cells
 
     @F.pandas_udf(T.LongType())
     def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(cells.cell_id(lon.to_numpy(), lat.to_numpy(), level))
+        return pd.Series(enc.cell_id(lon.to_numpy(), lat.to_numpy(), level))
 
     pts = points.select(
         F.col(id_col).alias("point_id"),
@@ -1013,30 +1030,81 @@ def knn_join_cells(
         F.col(lat_col).alias("lat"),
     ).withColumn("cell", pt_cell("lon", "lat"))
 
-    counts = _neighborhood_cell_counts(pts, queries, level, max_rings)
-
     cand_rows = []
-    for qid, qlon, qlat in queries:
-        c0 = int(cells.cell_id(np.array([qlon]), np.array([qlat]), level)[0])
-        have = 0
-        ring = 0
-        while ring <= max_rings:
-            have += sum(
-                counts.get(int(c), 0) for c in cells.ring_cells(c0, ring)
+    if index == "s2":
+        # batched BFS rings per query (driver-side, vectorized; ~33k cells
+        # for 64 rings in ~0.2s) — the allowlist bounds the count agg the
+        # way the flat index's ix/iy bit predicate does
+        rings_by_q = {
+            qid: s2.bfs_rings(
+                int(s2.cell_id(np.array([qlon]), np.array([qlat]), level)[0]),
+                max_rings,
             )
-            if have >= k:
-                break
-            ring += 1
-        # exactness bound: k candidates exist within Chebyshev ring r, so
-        # the k-th haversine distance <= (r+1)*cell*sqrt(2) in lat-degrees;
-        # a meter-ball of that radius spans 1/cos(lat) more cells in lon —
-        # extend rings to cover it (corner-vs-edge distances make a bare
-        # +1 ring insufficient for r >= 2)
-        coslat = max(abs(np.cos(np.deg2rad(qlat))), 0.1)
-        r_ext = int(np.ceil((ring + 1) * np.sqrt(2.0) / coslat)) + 1
-        for rr in range(0, min(r_ext, max_rings) + 1):
-            for c in cells.ring_cells(c0, rr):
-                cand_rows.append({"query_id": qid, "cell": int(c)})
+            for qid, qlon, qlat in queries
+        }
+        allowed = np.unique(
+            np.concatenate([np.concatenate(r) for r in rings_by_q.values()])
+        )
+        adf = spark.createDataFrame(
+            pd.DataFrame({"cell": allowed}), "cell long"
+        )
+        counts = {
+            r["cell"]: r["n"]
+            for r in pts.join(F.broadcast(adf), "cell")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for qid, _qlon, _qlat in queries:
+            layers = rings_by_q[qid]
+            have = 0
+            ring = 0
+            while ring < len(layers):
+                have += sum(counts.get(int(c), 0) for c in layers[ring])
+                if have >= k:
+                    break
+                ring += 1
+            # k candidates within `ring` BFS layers -> k-th distance <=
+            # (2*ring+1) * max_diag (a BFS step spans <= 2 cells); cover
+            # that ball: king-radius ceil(dist/min_width)+1 layers suffice
+            # (layers 0..r contain the full king-disk of radius r).  The
+            # metric ratio is level-free; no 1/cos(lat) term for S2.
+            r_ext = (
+                int(
+                    np.ceil(
+                        (2 * ring + 1)
+                        * s2.MAX_DIAG_DERIV
+                        / s2.MIN_WIDTH_DERIV
+                    )
+                )
+                + 1
+            )
+            for rr in range(0, min(r_ext, len(layers) - 1) + 1):
+                for c in layers[rr]:
+                    cand_rows.append({"query_id": qid, "cell": int(c)})
+    else:
+        counts = _neighborhood_cell_counts(pts, queries, level, max_rings)
+        for qid, qlon, qlat in queries:
+            c0 = int(cells.cell_id(np.array([qlon]), np.array([qlat]), level)[0])
+            have = 0
+            ring = 0
+            while ring <= max_rings:
+                have += sum(
+                    counts.get(int(c), 0) for c in cells.ring_cells(c0, ring)
+                )
+                if have >= k:
+                    break
+                ring += 1
+            # exactness bound: k candidates exist within Chebyshev ring r, so
+            # the k-th haversine distance <= (r+1)*cell*sqrt(2) in lat-degrees;
+            # a meter-ball of that radius spans 1/cos(lat) more cells in lon —
+            # extend rings to cover it (corner-vs-edge distances make a bare
+            # +1 ring insufficient for r >= 2)
+            coslat = max(abs(np.cos(np.deg2rad(qlat))), 0.1)
+            r_ext = int(np.ceil((ring + 1) * np.sqrt(2.0) / coslat)) + 1
+            for rr in range(0, min(r_ext, max_rings) + 1):
+                for c in cells.ring_cells(c0, rr):
+                    cand_rows.append({"query_id": qid, "cell": int(c)})
 
     cand = spark.createDataFrame(pd.DataFrame(cand_rows))
     filtered = pts.join(F.broadcast(cand), "cell").select(

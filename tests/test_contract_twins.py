@@ -63,6 +63,7 @@ def _gate(spark, con, name):
         "paragraph_dedup",
         "c4_line_filters",
         "cleaning_pipeline",
+        "knn_points_s2",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):
