@@ -26,7 +26,7 @@ from geetiles_spark.geo import geom
 from geetiles_spark.operators import dedup, joins, similarity, text, zonal
 from geetiles_spark.operators import grid as gridop
 from geetiles_spark.operators import multimodal
-from geetiles_spark.operators import random_parts
+from geetiles_spark.operators import random_parts, spatial_store
 from geetiles_spark.operators import split as splitop
 from geetiles_spark.sources import chips as chipsrc
 
@@ -205,6 +205,67 @@ def _q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.row_number().over(w)).select(
         "query_id", "rank", "point_id", F.round("dist_m", 3).alias("dist_m")
     )
+
+
+# contract S2-clustered store: written once per process per fixture dir
+# (same lifecycle pattern as _IVF_INDEX_CACHE; self-cleans at exit)
+_S2_STORE_CACHE: dict[str, tuple[object, object]] = {}
+
+_S2_AOI = (-1.0, 41.0, 2.0, 44.0)
+
+
+def _s2_contract_store(spark: SparkSession, sf_dir: str):
+    got = _S2_STORE_CACHE.get(sf_dir)
+    if got is None:
+        import tempfile
+
+        from geetiles_spark.catalog import Catalog
+
+        d = tempfile.TemporaryDirectory(prefix="s2store_contract_")
+        cat = Catalog(d.name)
+        pts = _t(spark, sf_dir, "orders").selectExpr(
+            "o_orderkey AS id",
+            f"CAST(-5.0 + {_PX} * 2 AS DOUBLE) AS lon",
+            f"CAST(38.0 + {_PY} AS DOUBLE) AS lat",
+        )
+        spatial_store.spatial_cluster_write(
+            cat, "pts_s2", pts, part_level=5, leaf_level=20
+        )
+        got = (d, cat)
+        _S2_STORE_CACHE[sf_dir] = got
+    return got[1]
+
+
+def _q_s2_aoi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOI scan through the S2-clustered store (geo/s2.py + operators/
+    spatial_store.py): points written hive-partitioned by the coarse S2
+    cell and Hilbert-sorted within partitions; the read prunes partitions
+    with the provably-superset bbox cover and keeps the exact lon/lat
+    predicate — so the result must EQUAL a plain SQL bbox filter, and the
+    DuckDB hash check covers the whole write→cover→prune→scan path (a
+    point dropped by a wrong cover or a mis-assigned partition key breaks
+    it).  PartitionFilters reaching the scan is pinned in pytest."""
+    cat = _s2_contract_store(spark, sf_dir)
+    return (
+        spatial_store.read_aoi(cat, spark, "pts_s2", *_S2_AOI)
+        .select("id", "lon", "lat")
+        .orderBy("id")
+    )
+
+
+def _s2_aoi_sql() -> str:
+    minlon, minlat, maxlon, maxlat = _S2_AOI
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey AS id,
+         -5.0 + {_PX} * 2 AS lon, 38.0 + {_PY} AS lat
+  FROM orders
+)
+SELECT id, lon, lat FROM pts
+WHERE lon >= {minlon} AND lon <= {maxlon}
+  AND lat >= {minlat} AND lat <= {maxlat}
+ORDER BY id
+"""
 
 
 def _q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2410,6 +2471,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filters": _q_c4_line_filters,
         "cleaning_pipeline": _q_cleaning_pipeline,
         "knn_points_s2": _q_knn_s2,
+        "s2_aoi_scan": _q_s2_aoi_scan,
     }
 
 
@@ -2436,6 +2498,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "c4_line_filters": _c4_sql(),
         "cleaning_pipeline": _cleaning_pipeline_sql(),
         "knn_points_s2": _knn_sql(),
+        "s2_aoi_scan": _s2_aoi_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

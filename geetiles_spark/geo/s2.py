@@ -320,6 +320,45 @@ def bfs_rings(cid: int, n_rings: int) -> list[np.ndarray]:
     return layers
 
 
+def cover_bbox(
+    minlon: float, minlat: float, maxlon: float, maxlat: float, level: int
+) -> np.ndarray:
+    """S2 cells at ``level`` covering a lon/lat bbox — a guaranteed SUPERSET
+    of every cell containing a point of the bbox (the partition-pruning
+    contract: pruning with this cover can drop only empty-for-this-AOI
+    partitions, never a matching row).
+
+    Method: encode a dense sample grid (step < min_width/sqrt(2), so every
+    bbox point is closer than one cell's min width to a sample), then dilate
+    by one king move.  Soundness: a great-circle segment shorter than the
+    min cell width cannot fully traverse any intermediate cell, so the cell
+    of any bbox point is within one king move of the cell of its nearest
+    sample — and :func:`edge_neighbors_batch` applied twice is a superset of
+    king adjacency.  No RegionCoverer needed for axis-aligned AOIs.
+    """
+    step_rad = min_width_rad(level) / 2.0
+    step_lat = np.rad2deg(step_rad)
+    # use the SMALLEST cos over the band so lon steps are dense enough there
+    coslat = max(
+        min(
+            np.cos(np.deg2rad(np.clip(minlat, -89.9, 89.9))),
+            np.cos(np.deg2rad(np.clip(maxlat, -89.9, 89.9))),
+        ),
+        1e-3,
+    )
+    step_lon = step_lat / coslat
+    lons = np.arange(minlon, maxlon + step_lon, step_lon)
+    lats = np.arange(minlat, maxlat + step_lat, step_lat)
+    lons[-1] = maxlon
+    lats[-1] = maxlat
+    glon, glat = np.meshgrid(lons, lats)
+    base = np.unique(cell_id(glon.ravel(), glat.ravel(), level))
+    e1 = edge_neighbors_batch(base, level)
+    return np.unique(
+        np.concatenate([base, e1, edge_neighbors_batch(e1, level)])
+    )
+
+
 # Quadratic-projection metric constants (published): width/diag of a level-L
 # cell in radians is deriv * 2^-L (min width lower-bounds any cell's extent;
 # max diag upper-bounds it).  Used for the kNN safety-ring bound.

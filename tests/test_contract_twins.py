@@ -64,6 +64,7 @@ def _gate(spark, con, name):
         "c4_line_filters",
         "cleaning_pipeline",
         "knn_points_s2",
+        "s2_aoi_scan",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):
