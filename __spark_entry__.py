@@ -2285,6 +2285,57 @@ def _q_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-preserving PII scrub over INTERLEAVED documents (north-rule
+    invariant as an operator, not just a check): text spans are redacted in
+    place via a whole-stage-codegen transform() — media spans, offsets and
+    order are untouched by construction (docs.transform_text_spans).  The
+    contract query injects deterministic PII into every third text span in
+    BOTH engines, so the hash check scores known positives and any span
+    reordering / media mutation / missed redaction breaks it."""
+    from geetiles_spark.sources import docs as docsrc
+
+    tiles = _fixture_tiles(spark)
+    d = docsrc.generate_docs_pattern(tiles, "patternimage-2020")
+    clean = docsrc.scrub_text_spans(docsrc.inject_span_pii(d))
+    return (
+        clean.select("doc_id", F.posexplode("spans").alias("span_pos", "span"))
+        .select(
+            "doc_id", "span_pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "span_pos")
+    )
+
+
+def _span_pii_scrub_sql() -> str:
+    from geetiles_spark.operators.text import PII_PATTERNS
+
+    red = "text"
+    for _name, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    spans = _oracle_mod().doc_spans_oracle_sql(500, "patternimage-2020")
+    return f"""
+WITH allspans AS ({spans}),
+injected AS (
+  SELECT doc_id, span_pos, kind,
+         CASE WHEN kind = 'text' AND span_pos % 3 = 0
+              THEN text || ' contact ops@' || doc_id
+                   || '.example.com from 10.0.0.' || CAST(span_pos AS VARCHAR)
+              ELSE text END AS text,
+         media_ref, "offset"
+  FROM allspans
+)
+SELECT doc_id, span_pos, kind,
+       CASE WHEN kind = 'text' THEN {red} ELSE text END AS text,
+       media_ref, "offset"
+FROM injected ORDER BY doc_id, span_pos
+"""
+
+
 def _q_doc_span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geetiles_spark.sources import docs as docsrc
 
@@ -2472,6 +2523,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaning_pipeline": _q_cleaning_pipeline,
         "knn_points_s2": _q_knn_s2,
         "s2_aoi_scan": _q_s2_aoi_scan,
+        "span_pii_scrub": _q_span_pii_scrub,
     }
 
 
@@ -2499,6 +2551,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "cleaning_pipeline": _cleaning_pipeline_sql(),
         "knn_points_s2": _knn_sql(),
         "s2_aoi_scan": _s2_aoi_sql(),
+        "span_pii_scrub": _span_pii_scrub_sql(),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

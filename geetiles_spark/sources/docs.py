@@ -191,3 +191,68 @@ def span_sequence_fingerprint(docs: DataFrame) -> DataFrame:
             256,
         ).alias("span_fingerprint"),
     )
+
+
+def transform_text_spans(docs: DataFrame, make_text) -> DataFrame:
+    """Rewrite the ``text`` of text spans IN PLACE in the span sequence.
+
+    ``make_text(span_struct_col) -> Column`` produces the new text.  The
+    struct is rebuilt field by field and only ``text`` changes, and only
+    where ``kind = 'text'`` — so (kind, media_ref, offset, order) are
+    preserved BY CONSTRUCTION: the north-rule per-row invariant holds for
+    any cleaner plugged in here.  Pure higher-order-function projection
+    (``transform`` over the array) — whole-stage codegen, zero shuffle,
+    no UDF: at 10^12 documents this is a map-only pass.
+    """
+    return docs.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text", make_text(s))
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+
+
+def scrub_text_spans(docs: DataFrame) -> DataFrame:
+    """PII-redact text spans of interleaved documents without touching
+    media spans or span order — the compliance pass run where documents
+    are STRUCTURED (the flat-text ``text.pii_scrub`` would destroy the
+    media interleaving).  Patterns are the Spark∩DuckDB-safe set from
+    :data:`..operators.text.PII_PATTERNS`, applied sequentially; idempotent
+    (placeholders contain no redactable tokens)."""
+    from ..operators.text import PII_PATTERNS
+
+    def make_text(s):
+        red = s["text"]
+        for _name, pat, rep in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, rep)
+        return red
+
+    return transform_text_spans(docs, make_text)
+
+
+def inject_span_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII salt for contract queries: every text span at
+    offset % 3 == 0 gains an email + IPv4 derived from (doc_id, offset),
+    so the scrub scores known positives and the SQL twin re-derives the
+    identical injection."""
+    return transform_text_spans(
+        docs,
+        lambda s: F.when(
+            s["offset"] % 3 == 0,
+            F.concat(
+                s["text"],
+                F.lit(" contact ops@"),
+                F.col("doc_id"),
+                F.lit(".example.com from 10.0.0."),
+                s["offset"].cast("string"),
+            ),
+        ).otherwise(s["text"]),
+    )

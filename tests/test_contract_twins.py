@@ -65,6 +65,7 @@ def _gate(spark, con, name):
         "cleaning_pipeline",
         "knn_points_s2",
         "s2_aoi_scan",
+        "span_pii_scrub",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

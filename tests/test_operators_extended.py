@@ -1760,3 +1760,96 @@ class TestVocabTopk:
         # the global-total attach constant-folds to a ONE-row Identity
         # broadcast (benign BNLJ: k probe rows x 1 build row)
         assert "IdentityBroadcastMode" in plan
+
+
+class TestSpanPreservingScrub:
+    """docs.transform_text_spans / scrub_text_spans: the north-rule span
+    invariant enforced by construction, not just checked after the fact."""
+
+    def _docs(self, spark):
+        from geetiles_spark.sources.docs import DOC_SCHEMA
+
+        rows = [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "mail me at bob@corp.io now",
+                     "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "ds/t-1",
+                     "offset": 1},
+                    {"kind": "text", "text": "server 192.168.0.7 down",
+                     "media_ref": "", "offset": 2},
+                    {"kind": "media", "text": "", "media_ref": "ds/t-2",
+                     "offset": 3},
+                ],
+            ),
+            (
+                "d2",
+                [
+                    {"kind": "text", "text": "call +14155550100 today",
+                     "media_ref": "", "offset": 0},
+                ],
+            ),
+        ]
+        return spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def test_redacts_text_spans_only(self, spark):
+        from geetiles_spark.sources import docs as docsrc
+
+        out = {
+            r["doc_id"]: r["spans"]
+            for r in docsrc.scrub_text_spans(self._docs(spark)).collect()
+        }
+        assert out["d1"][0]["text"] == "mail me at <EMAIL> now"
+        assert out["d1"][2]["text"] == "server <IP> down"
+        assert out["d2"][0]["text"] == "call <PHONE> today"
+        # media spans byte-identical, order + offsets intact
+        assert out["d1"][1].asDict() == {
+            "kind": "media", "text": "", "media_ref": "ds/t-1", "offset": 1
+        }
+        assert [s["offset"] for s in out["d1"]] == [0, 1, 2, 3]
+
+    def test_structure_fingerprint_invariant(self, spark):
+        """(kind, media_ref, offset, order) identical before/after."""
+        from pyspark.sql import functions as F
+        from geetiles_spark.sources import docs as docsrc
+
+        def structure(df):
+            return {
+                r["doc_id"]: r["s"]
+                for r in df.select(
+                    "doc_id",
+                    F.transform(
+                        "spans",
+                        lambda s: F.concat_ws(
+                            "|", s["kind"], s["media_ref"],
+                            s["offset"].cast("string"),
+                        ),
+                    ).alias("s"),
+                ).collect()
+            }
+
+        d = self._docs(spark)
+        assert structure(d) == structure(docsrc.scrub_text_spans(d))
+
+    def test_idempotent(self, spark):
+        from geetiles_spark.sources import docs as docsrc
+
+        once = docsrc.scrub_text_spans(self._docs(spark))
+        twice = docsrc.scrub_text_spans(once)
+        a = sorted((r["doc_id"], str(r["spans"])) for r in once.collect())
+        b = sorted((r["doc_id"], str(r["spans"])) for r in twice.collect())
+        assert a == b
+
+    def test_plan_is_udf_free_projection(self, spark):
+        """The scrub is a single whole-stage-codegen map — no Python UDF,
+        no shuffle (the 10^12-doc requirement)."""
+        from geetiles_spark.sources import docs as docsrc
+
+        plan = (
+            docsrc.scrub_text_spans(self._docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
