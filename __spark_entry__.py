@@ -1307,6 +1307,49 @@ FROM injected ORDER BY doc_id
 """
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration 0 (the SQL-expressible slice of
+    operators/bpe.py, lossy-codec verification pattern): top-64 adjacent
+    symbol pairs of the top-4096-word frequency table, symbols = chars +
+    '</w>'.  Multi-iteration training is pinned in pytest against an
+    independent reference implementation (tests/test_bpe.py)."""
+    from geetiles_spark.operators import bpe
+
+    words = bpe.word_symbol_table(_t(spark, sf_dir, "documents"), 4096)
+    top = (
+        bpe.pair_table(words)
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(64)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "a", "b", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+_BPE_PAIRS_SQL = r"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+  ) WHERE w <> ''
+  GROUP BY w ORDER BY freq DESC, w ASC LIMIT 4096
+), pairs AS (
+  SELECT substring(w, g.i, 1) AS a,
+         CASE WHEN g.i = length(w) THEN '</w>'
+              ELSE substring(w, g.i + 1, 1) END AS b,
+         freq
+  FROM words JOIN generate_series(1, 2048) g(i) ON g.i <= length(w)
+), counts AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs GROUP BY a, b
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rank, a, b, cnt
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, a, b, cnt FROM ranked
+WHERE rank <= 64 ORDER BY rank
+"""
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-256 corpus vocabulary with coverage curve; rank, counts, and
     both rounded fractions are value-hashed against the SQL twin."""
@@ -2524,6 +2567,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_points_s2": _q_knn_s2,
         "s2_aoi_scan": _q_s2_aoi_scan,
         "span_pii_scrub": _q_span_pii_scrub,
+        "bpe_pair_counts": _q_bpe_pair_counts,
     }
 
 
@@ -2552,6 +2596,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "knn_points_s2": _knn_sql(),
         "s2_aoi_scan": _s2_aoi_sql(),
         "span_pii_scrub": _span_pii_scrub_sql(),
+        "bpe_pair_counts": _BPE_PAIRS_SQL,
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

@@ -66,6 +66,7 @@ def _gate(spark, con, name):
         "knn_points_s2",
         "s2_aoi_scan",
         "span_pii_scrub",
+        "bpe_pair_counts",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):
