@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     # driver's BENCH tracks it (r4/r5 totals compare like-for-like by
     # excluding this entry; see BENCH/BASELINE.md round-6 note)
     "exact_substr_spans",
+    # new r6 (second batch): AOI scan through the S2-clustered store —
+    # pass 1 pays the one-time clustered write (cached per process), so
+    # the best-of-2 protocol times the partition-pruned read path the
+    # driver should track; totals compare like-for-like by excluding it
+    "s2_aoi_scan",
 ]
 
 
