@@ -2379,6 +2379,31 @@ FROM injected ORDER BY doc_id, span_pos
 """
 
 
+def _q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal doc-level dedup: fingerprint = ordered span sequence with
+    text spans contributing text and media spans contributing the md5 of
+    the referenced chip's DECODED pixels (content, not ref strings).  The
+    fixture unions deterministic 'copy-' re-crawls (doc-seed % 3 == 0, same
+    spans, new ids) that must collapse onto one canonical id; the DuckDB
+    twin re-derives spans AND every chip pixel, so the hash gate covers
+    decode -> content-hash -> join -> fingerprint -> election end-to-end."""
+    from geetiles_spark.sources import docs as docsrc
+
+    tiles = _fixture_tiles(spark)
+    d = docsrc.generate_docs_pattern(tiles, "patternimage-2020")
+    dseed = F.conv(
+        F.substring(F.sha2(F.col("doc_id"), 256), 1, 12), 16, 10
+    ).cast("long")
+    copies = d.where(dseed % 3 == 0).select(
+        F.concat(F.lit("copy-"), F.col("doc_id")).alias("doc_id"), "spans"
+    )
+    ch = chipsrc.generate_chips(tiles, "patternimage-2020")
+    content = multimodal.chip_content_hash(ch)
+    return dedup.multimodal_dedup(d.unionByName(copies), content).orderBy(
+        "doc_id"
+    )
+
+
 def _q_doc_span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geetiles_spark.sources import docs as docsrc
 
@@ -2568,6 +2593,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_aoi_scan": _q_s2_aoi_scan,
         "span_pii_scrub": _q_span_pii_scrub,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "multimodal_dedup": _q_multimodal_dedup,
     }
 
 
@@ -2597,6 +2623,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "s2_aoi_scan": _s2_aoi_sql(),
         "span_pii_scrub": _span_pii_scrub_sql(),
         "bpe_pair_counts": _BPE_PAIRS_SQL,
+        "multimodal_dedup": _oracle_mod().multimodal_dedup_oracle_sql(500),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

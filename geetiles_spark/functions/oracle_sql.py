@@ -1300,3 +1300,80 @@ SELECT CAST(row_number() OVER (ORDER BY path) - 1 AS BIGINT) AS row_idx,
 FROM {leaves.last()}
 ORDER BY row_idx
 """
+
+
+def multimodal_dedup_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternimage-2020",
+    height: int = 100,
+    width: int = 100,
+    bands: int = 3,
+    copy_mod: int = 3,
+) -> str:
+    """Multimodal doc-level dedup oracle: re-derives the interleaved span
+    sequences (doc_spans chain), the chip CONTENT hashes from the pattern
+    pixel formula (md5 over comma-joined decimal pixel values in (band, y,
+    x) order — the canonical form shared with ``multimodal.
+    chip_content_hash``), injects the deterministic 'copy-' re-crawl docs
+    (doc-seed % copy_mod == 0), and replays the fingerprint + min-id
+    election.  A single mis-decoded pixel byte, span reorder, or wrong
+    join breaks the fp column's value hash."""
+    spans = doc_spans_oracle_sql(chip_size_m, dataset)
+    # chip pixel seed = sha256('{dataset}/{tile_id}')[:12] = sha256 of the
+    # media_ref string itself — derive it from the spans (no second grid
+    # chain; duplicate CTE names across nesting levels are a DuckDB binder
+    # error)
+    cseed = tm_sql._Chain(
+        "SELECT DISTINCT media_ref FROM allspans WHERE kind = 'media'",
+        "cseeded",
+    )
+    tm_sql.add_hex_prefix_int(cseed, "media_ref", 12, "cseed")
+    dseed = tm_sql._Chain("SELECT DISTINCT doc_id FROM allspans", "docseed")
+    tm_sql.add_hex_prefix_int(dseed, "doc_id", 12, "dseed")
+    return f"""
+WITH allspans AS ({spans}),
+{dseed.render()},
+copies AS (
+  SELECT 'copy-' || a.doc_id AS doc_id, a.span_pos, a.kind, a.text,
+         a.media_ref, a."offset"
+  FROM allspans a JOIN {dseed.last()} s ON s.doc_id = a.doc_id
+  WHERE s.dseed % {copy_mod} = 0
+),
+uni AS (
+  SELECT doc_id, span_pos, kind, text, media_ref FROM allspans
+  UNION ALL
+  SELECT doc_id, span_pos, kind, text, media_ref FROM copies
+),
+{cseed.render()},
+px AS (
+  SELECT media_ref, b.g AS b, y.g AS y, x.g AS x,
+         CAST((cseed + 3 * x.g + 7 * y.g + 11 * b.g) % 256 AS BIGINT) AS v
+  FROM {cseed.last()},
+       generate_series(0, {width - 1}) x(g),
+       generate_series(0, {height - 1}) y(g),
+       generate_series(0, {bands - 1}) b(g)
+),
+chash AS (
+  SELECT media_ref,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY b, y, x)) AS chash
+  FROM px GROUP BY media_ref
+),
+elems AS (
+  SELECT u.doc_id, u.span_pos,
+         u.kind || chr(2) || u.text || chr(2) || coalesce(c.chash, '')
+           AS elem,
+         CASE WHEN u.kind = 'media' THEN 1 ELSE 0 END AS is_media
+  FROM uni u LEFT JOIN chash c ON u.media_ref = c.media_ref
+),
+perdoc AS (
+  SELECT doc_id,
+         sha256(string_agg(elem, chr(1) ORDER BY span_pos)) AS fp,
+         CAST(sum(is_media) AS INTEGER) AS n_media
+  FROM elems GROUP BY doc_id
+)
+SELECT doc_id, n_media, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
+       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM perdoc ORDER BY doc_id
+"""

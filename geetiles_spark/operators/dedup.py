@@ -920,3 +920,74 @@ def paragraph_dedup(
             ).alias("text_clean"),
         )
     )
+
+
+def multimodal_dedup(
+    docs: DataFrame,
+    media_content: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-level dedup of INTERLEAVED text+media documents by CONTENT:
+    a document's fingerprint is the sha256 of its span sequence where text
+    spans contribute their text and media spans contribute the md5 of the
+    referenced chip's decoded pixels (:func:`..operators.multimodal.
+    chip_content_hash`) — NOT the media_ref string, so a re-crawled page
+    whose images were re-keyed still collapses with the original, and two
+    refs pointing at different bytes never do.
+
+    Scale shape: explode spans once, ONE equi-join on media_ref against
+    the chip content table (O(tiles), shuffle-partitioned), per-doc ordered
+    rebuild via collect_list + array_sort (the paragraph_dedup pattern),
+    then a min-id election per fingerprint — O(docs) out, no pairs.
+
+    Output per doc: ``(doc_id, n_media, fp, canonical_doc_id, keep)`` with
+    ``keep = 1`` iff this doc is its fingerprint group's minimum id."""
+    from pyspark.sql import Window
+
+    spans = docs.select(
+        F.col(id_col), F.posexplode("spans").alias("pos", "s")
+    ).select(
+        id_col,
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    content = media_content.select("media_ref", "chash")
+    # text spans carry media_ref = '' which matches no content row -> null
+    # chash -> '' after coalesce; one equi-join, no extra predicate needed
+    joined = spans.join(
+        content, spans["media_ref"] == content["media_ref"], "left"
+    ).select(
+        spans[id_col], "pos", "kind", "text",
+        F.coalesce("chash", F.lit("")).alias("chash"),
+        F.when(spans["kind"] == "media", 1).otherwise(0).alias("is_media"),
+    )
+    elem = F.concat_ws("\x02", F.col("kind"), F.col("text"), F.col("chash"))
+    per_doc = (
+        joined.withColumn("elem", elem)
+        .groupBy(id_col)
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    "\x01",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "elem"))
+                        ),
+                        lambda st: st["elem"],
+                    ),
+                ),
+                256,
+            ).alias("fp"),
+            F.sum("is_media").cast("int").alias("n_media"),
+        )
+    )
+    w = Window.partitionBy("fp")
+    return per_doc.select(
+        id_col,
+        "n_media",
+        "fp",
+        F.min(id_col).over(w).alias("canonical_doc_id"),
+        (F.col(id_col) == F.min(id_col).over(w)).cast("int").alias("keep"),
+    )

@@ -469,3 +469,47 @@ def audio_stats(audio: DataFrame) -> DataFrame:
     return audio.select(
         "tile_id", "sample_rate", "payload"
     ).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+CONTENT_HASH_SCHEMA = "media_ref string, chash string, n_pixels int"
+
+
+def chip_content_hash(chips: DataFrame, fmt: str = "raw") -> DataFrame:
+    """Content address of each chip's DECODED pixels: md5 over the pixel
+    values serialized as comma-joined decimal ints in (band, y, x) order —
+    a canonical form a SQL twin reproduces exactly (DuckDB:
+    ``md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY b, y, x))``), unlike
+    a raw-byte hash whose NUL bytes SQL strings cannot carry.  One row per
+    chip: ``(media_ref = dataset/tile_id, chash, n_pixels)``.
+
+    This is the media half of multimodal dedup
+    (:func:`..operators.dedup.multimodal_dedup`): two documents embedding
+    byte-identical images hash together even when their media_refs differ,
+    and a single mis-decoded byte anywhere breaks the value hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.status != "ok":
+                    continue
+                arr = _decode(r.payload, fmt, r.dtype, r.height, r.width, r.bands)
+                if arr.ndim == 2:
+                    flat = arr.astype(np.int64).ravel()
+                else:
+                    flat = arr.astype(np.int64).transpose(2, 0, 1).ravel()
+                csv = ",".join(map(str, flat.tolist()))
+                rows.append(
+                    {
+                        "media_ref": f"{r.dataset}/{r.tile_id}",
+                        "chash": hashlib.md5(csv.encode()).hexdigest(),
+                        "n_pixels": int(flat.size),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    cols = ["tile_id", "dataset", "payload", "dtype", "height", "width", "bands", "status"]
+    return chips.select(*cols).mapInPandas(run, CONTENT_HASH_SCHEMA)

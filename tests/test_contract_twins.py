@@ -67,6 +67,7 @@ def _gate(spark, con, name):
         "s2_aoi_scan",
         "span_pii_scrub",
         "bpe_pair_counts",
+        "multimodal_dedup",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

@@ -1853,3 +1853,73 @@ class TestSpanPreservingScrub:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestMultimodalDedup:
+    """dedup.multimodal_dedup + multimodal.chip_content_hash: documents
+    collapse by media CONTENT, not by media_ref string."""
+
+    def _fixture(self, spark):
+        import numpy as np
+        from geetiles_spark.sources.docs import DOC_SCHEMA
+
+        px_a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        px_b = px_a + np.uint8(1)  # uint8 wraps; % 256 would promote to int16
+        chips = spark.createDataFrame(
+            [
+                ("t1", "ds", px_a.tobytes(), "uint8", 4, 4, 3, "ok"),
+                ("t2", "ds", px_a.tobytes(), "uint8", 4, 4, 3, "ok"),  # same bytes
+                ("t3", "ds", px_b.tobytes(), "uint8", 4, 4, 3, "ok"),
+            ],
+            "tile_id string, dataset string, payload binary, dtype string, "
+            "height int, width int, bands int, status string",
+        )
+        docs = spark.createDataFrame(
+            [
+                ("dA", [{"kind": "text", "text": "same page", "media_ref": "", "offset": 0},
+                         {"kind": "media", "text": "", "media_ref": "ds/t1", "offset": 1}]),
+                ("dB", [{"kind": "text", "text": "same page", "media_ref": "", "offset": 0},
+                         {"kind": "media", "text": "", "media_ref": "ds/t2", "offset": 1}]),
+                ("dC", [{"kind": "text", "text": "same page", "media_ref": "", "offset": 0},
+                         {"kind": "media", "text": "", "media_ref": "ds/t3", "offset": 1}]),
+                ("dD", [{"kind": "text", "text": "other page", "media_ref": "", "offset": 0},
+                         {"kind": "media", "text": "", "media_ref": "ds/t1", "offset": 1}]),
+            ],
+            DOC_SCHEMA,
+        )
+        return docs, chips
+
+    def test_collapses_by_content_not_ref(self, spark):
+        from geetiles_spark.operators import dedup, multimodal
+
+        docs, chips = self._fixture(spark)
+        content = multimodal.chip_content_hash(chips)
+        out = {r["doc_id"]: r for r in dedup.multimodal_dedup(docs, content).collect()}
+        # dA and dB embed byte-identical images under DIFFERENT refs
+        assert out["dA"]["fp"] == out["dB"]["fp"]
+        assert out["dB"]["canonical_doc_id"] == "dA"
+        assert (out["dA"]["keep"], out["dB"]["keep"]) == (1, 0)
+        # one different pixel -> different doc
+        assert out["dC"]["fp"] != out["dA"]["fp"] and out["dC"]["keep"] == 1
+        # same image, different text -> different doc
+        assert out["dD"]["fp"] != out["dA"]["fp"] and out["dD"]["keep"] == 1
+        assert all(r["n_media"] == 1 for r in out.values())
+
+    def test_content_hash_order_canonical(self, spark):
+        """(band, y, x) serialization order: transposed pixels hash
+        differently unless the array is symmetric."""
+        import hashlib
+        import numpy as np
+        from geetiles_spark.operators import multimodal
+
+        arr = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+        chips = spark.createDataFrame(
+            [("t", "ds", arr.tobytes(), "uint8", 3, 3, 3, "ok")],
+            "tile_id string, dataset string, payload binary, dtype string, "
+            "height int, width int, bands int, status string",
+        )
+        got = multimodal.chip_content_hash(chips).first()
+        want = hashlib.md5(
+            ",".join(map(str, arr.transpose(2, 0, 1).ravel().tolist())).encode()
+        ).hexdigest()
+        assert got["chash"] == want and got["n_pixels"] == 27
