@@ -154,3 +154,46 @@ def cover_superset_check(
     cids = s2.cell_id(lon[inside], lat[inside], level)
     cover = s2.cover_bbox(minlon, minlat, maxlon, maxlat, level)
     return bool(np.isin(cids, cover).all())
+
+
+def read_aoi_polygon(
+    catalog: Catalog,
+    spark: SparkSession,
+    name: str,
+    ring: np.ndarray,
+) -> DataFrame:
+    """Polygon-AOI scan over an S2-clustered table: prune partitions with
+    the (sound, superset) bbox cover of the ring's envelope, then refine
+    with the EXACT point-in-polygon test (`geo.geom.points_in_polygon`,
+    Arrow-batched) — identical rows to an unpruned PIP scan (law shared
+    with :func:`read_aoi`), reading only the AOI's partition directories.
+    The reference's analog is the per-AOI directory layout it re-lists in
+    full for every query (``geetiles/partitions.py:432-445``)."""
+    from ..geo import geom
+
+    meta = catalog.commit_meta(name)
+    if meta.get("spatial_index") != "s2":
+        raise ValueError(f"table {name} is not S2-clustered")
+    ring = np.asarray(ring, dtype=np.float64)
+    minlon, minlat = ring[:, 0].min(), ring[:, 1].min()
+    maxlon, maxlat = ring[:, 0].max(), ring[:, 1].max()
+    cover = s2.cover_bbox(minlon, minlat, maxlon, maxlat, meta["part_level"])
+    lon_col, lat_col = meta["lon_col"], meta["lat_col"]
+    pruned = (
+        catalog.read(spark, name)
+        .where(F.col("s2_part").isin([int(c) for c in cover]))
+        .where(
+            (F.col(lon_col) >= float(minlon))
+            & (F.col(lon_col) <= float(maxlon))
+            & (F.col(lat_col) >= float(minlat))
+            & (F.col(lat_col) <= float(maxlat))
+        )
+    )
+    bring = spark.sparkContext.broadcast(ring)
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        pts = np.column_stack([lon.to_numpy(), lat.to_numpy()])
+        return pd.Series(geom.points_in_polygon(pts, bring.value))
+
+    return pruned.where(inside(F.col(lon_col), F.col(lat_col)))

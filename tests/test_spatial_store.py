@@ -130,3 +130,45 @@ class TestClusteredStore:
         cat.write(pts.limit(10), "plain")
         with pytest.raises(ValueError, match="not S2-clustered"):
             ss.read_aoi(cat, spark, "plain", *self.AOI)
+
+
+class TestPolygonAoi:
+    def test_polygon_read_equals_unpruned_pip(self, spark, store):
+        """read_aoi_polygon == plain PIP filter over the full table —
+        pruning + bbox pre-filter change only the plan."""
+        import numpy as np
+        from geetiles_spark.geo import geom
+
+        cat, pts = store
+        # a non-convex AOI (arrowhead) inside the data window
+        ring = np.array(
+            [(-4.0, 43.0), (-1.0, 43.5), (-2.5, 45.0), (-1.0, 46.5),
+             (-4.0, 47.0), (-3.0, 45.0)],
+            dtype=np.float64,
+        )
+        got = sorted(
+            r["id"]
+            for r in ss.read_aoi_polygon(cat, spark, "pts", ring)
+            .select("id")
+            .collect()
+        )
+        rows = pts.select("id", "lon", "lat").collect()
+        xy = np.array([(r["lon"], r["lat"]) for r in rows])
+        inside = geom.points_in_polygon(xy, ring)
+        want = sorted(rows[i]["id"] for i in np.nonzero(inside)[0])
+        assert got == want and len(got) > 0
+
+    def test_polygon_read_prunes_partitions(self, spark, store):
+        import numpy as np
+
+        cat, _ = store
+        ring = np.array(
+            [(-2.0, 44.0), (-0.5, 44.0), (-0.5, 45.5), (-2.0, 45.5)],
+            dtype=np.float64,
+        )
+        plan = (
+            ss.read_aoi_polygon(cat, spark, "pts", ring)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "s2_part" in plan.split("PartitionFilters", 1)[1][:200]
