@@ -2379,6 +2379,54 @@ FROM injected ORDER BY doc_id, span_pos
 """
 
 
+def _dhash_fixture_chips(spark: SparkSession) -> DataFrame:
+    """Pattern chips + a 'near-' perturbed copy of every chip: pixel
+    (0, 0, 0) bumped by +1 (uint8 wrap) — a 1-input-pixel change that moves
+    the dHash by at most 1 bit, the controlled near-duplicate positive the
+    SQL twin re-derives (oracle_sql.image_dhash_oracle_sql tiles2 CTE)."""
+    import numpy as np
+
+    tiles = _fixture_tiles(spark)
+    ch = chipsrc.generate_chips(tiles, "patternimage-2020")
+
+    def bump(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8).copy()
+                arr[0] = (int(arr[0]) + 1) % 256
+                out.append(arr.tobytes())
+            pdf["payload"] = out
+            pdf["tile_id"] = "near-" + pdf["tile_id"]
+            yield pdf
+
+    near = ch.mapInPandas(bump, ch.schema)
+    return ch.unionByName(near)
+
+
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash per chip (grayscale floor-mean -> exact-integer
+    8x9 bilinear resize -> 64 difference bits): the bitstring AND both
+    32-bit halves value-hashed against the SQL twin — a wrong gray mix,
+    resize tap, bit order, or half split breaks the gate."""
+    return multimodal.image_dhash(_dhash_fixture_chips(spark)).select(
+        "tile_id", "dhash", "h_hi", "h_lo"
+    ).orderBy("tile_id")
+
+
+def _q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs: pigeonhole segment join over the dHash
+    bitstring + bit_count(xor) refine on the halves, report-once — checked
+    against the brute-force SQL Hamming scan.  Every 'near-' copy must
+    pair with its source at dist <= 1; unrelated tiles (~32 bits apart)
+    must not appear."""
+    sigs = multimodal.image_dhash(_dhash_fixture_chips(spark))
+    return dedup.dhash_hamming_pairs(sigs, max_dist=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal doc-level dedup: fingerprint = ordered span sequence with
     text spans contributing text and media spans contributing the md5 of
@@ -2594,6 +2642,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_pii_scrub": _q_span_pii_scrub,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "multimodal_dedup": _q_multimodal_dedup,
+        "image_dhash": _q_image_dhash,
+        "image_dhash_pairs": _q_image_dhash_pairs,
     }
 
 
@@ -2624,6 +2674,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "span_pii_scrub": _span_pii_scrub_sql(),
         "bpe_pair_counts": _BPE_PAIRS_SQL,
         "multimodal_dedup": _oracle_mod().multimodal_dedup_oracle_sql(500),
+        "image_dhash": _oracle_mod().image_dhash_oracle_sql(500),
+        "image_dhash_pairs": _oracle_mod().image_dhash_oracle_sql(
+            500, pairs=True
+        ),
         # geo_random_partitions: seeded recursion, rows-only by design —
         # its hashed twin in the main contract carries the full oracle
     }

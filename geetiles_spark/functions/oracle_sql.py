@@ -1377,3 +1377,103 @@ SELECT doc_id, n_media, fp,
                  THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM perdoc ORDER BY doc_id
 """
+
+
+def image_dhash_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternimage-2020",
+    height: int = 100,
+    width: int = 100,
+    pairs: bool = False,
+    max_dist: int = 4,
+) -> str:
+    """dHash oracle: grayscale (exact floor-mean over the 3 pattern bands,
+    with the contract's +1-on-pixel-(0,0,0) perturbed 'near-' copies),
+    integer bilinear resize to 8x9 (the bilinear_png_stats coordinate /
+    blend math), difference bits, the 64-char bitstring and the two 32-bit
+    halves.  ``pairs=True`` emits the brute-force Hamming pairs instead
+    (bit_count over xor of the halves) — the oracle for the pigeonhole
+    join."""
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "dhseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    out_h, out_w = 8, 9
+    deny, denx = 2 * out_h, 2 * out_w
+    D = deny * denx
+
+    def v(y: str, x: str, b: int) -> str:
+        return f"((seed + 3 * ({x}) + 7 * ({y}) + 11 * {b}) % 256)"
+
+    def gray(y: str, x: str) -> str:
+        v0 = (
+            f"(({v(y, x, 0)} + bump * (CASE WHEN ({y}) = 0 AND ({x}) = 0"
+            " THEN 1 ELSE 0 END)) % 256)"
+        )
+        return f"(({v0} + {v(y, x, 1)} + {v(y, x, 2)}) // 3)"
+
+    blend = (
+        f"((({deny} - yc.fy) * (({denx} - xc.fx) * {gray('yc.y0', 'xc.x0')}"
+        f" + xc.fx * {gray('yc.y0', 'xc.x1')})"
+        f" + yc.fy * (({denx} - xc.fx) * {gray('yc.y1', 'xc.x0')}"
+        f" + xc.fx * {gray('yc.y1', 'xc.x1')})) + {D // 2}) // {D}"
+    )
+    head = f"""
+WITH {body},
+{seed.render()},
+tiles2 AS (
+  SELECT tile_id, seed, 0 AS bump FROM {seed.last()}
+  UNION ALL
+  SELECT 'near-' || tile_id, seed, 1 FROM {seed.last()}
+),
+yc0 AS (
+  SELECT oy,
+    CASE WHEN ty >= {(height - 1) * deny} THEN {height - 1}
+         ELSE ty // {deny} END AS y0,
+    CASE WHEN ty >= {(height - 1) * deny} THEN 0 ELSE ty % {deny} END AS fy
+  FROM (SELECT g.oy AS oy, GREATEST((2 * g.oy + 1) * {height} - {out_h}, 0) AS ty
+        FROM generate_series(0, {out_h - 1}) g(oy))
+),
+yc AS (SELECT oy, y0, LEAST(y0 + 1, {height - 1}) AS y1, fy FROM yc0),
+xc0 AS (
+  SELECT ox,
+    CASE WHEN tx >= {(width - 1) * denx} THEN {width - 1}
+         ELSE tx // {denx} END AS x0,
+    CASE WHEN tx >= {(width - 1) * denx} THEN 0 ELSE tx % {denx} END AS fx
+  FROM (SELECT g.ox AS ox, GREATEST((2 * g.ox + 1) * {width} - {out_w}, 0) AS tx
+        FROM generate_series(0, {out_w - 1}) g(ox))
+),
+xc AS (SELECT ox, x0, LEAST(x0 + 1, {width - 1}) AS x1, fx FROM xc0),
+rz AS (
+  SELECT t.tile_id, yc.oy, xc.ox, {blend} AS g
+  FROM tiles2 t, yc, xc
+),
+bits AS (
+  SELECT a.tile_id, a.oy, a.ox, CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM rz a JOIN rz b
+    ON b.tile_id = a.tile_id AND b.oy = a.oy AND b.ox = a.ox + 1
+  WHERE a.ox < {out_w - 1}
+),
+hashes AS (
+  SELECT tile_id,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY oy, ox) AS dhash,
+         CAST(sum(CASE WHEN oy * 8 + ox < 32
+                       THEN bit * power(2, 31 - (oy * 8 + ox))
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(sum(CASE WHEN oy * 8 + ox >= 32
+                       THEN bit * power(2, 63 - (oy * 8 + ox))
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM bits GROUP BY tile_id
+)"""
+    if not pairs:
+        return head + """
+SELECT tile_id, dhash, h_hi, h_lo FROM hashes ORDER BY tile_id
+"""
+    return head + f"""
+SELECT a.tile_id AS id_a, b.tile_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
+FROM hashes a JOIN hashes b ON a.tile_id < b.tile_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+      <= {max_dist}
+ORDER BY id_a, id_b
+"""

@@ -991,3 +991,75 @@ def multimodal_dedup(
         F.min(id_col).over(w).alias("canonical_doc_id"),
         (F.col(id_col) == F.min(id_col).over(w)).cast("int").alias("keep"),
     )
+
+
+def dhash_hamming_pairs(
+    sigs: DataFrame,
+    max_dist: int = 4,
+    id_col: str = "tile_id",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash Hamming distance <= max_dist,
+    recall 1 — the :func:`simhash_hamming_pairs` shape applied to the
+    64-bit perceptual hash (`multimodal.image_dhash`): pigeonhole the
+    64-char bitstring into ``max_dist + 1`` segments, equi-join on
+    ``(segment_idx, segment_value)``, refine with ``bit_count(xor)`` over
+    the two 32-bit halves (pure JVM long ops — not 64 per-char
+    comparisons), and keep each pair only in its FIRST agreeing segment
+    (report-once: a filter, never a distinct shuffle).  Corpora with a
+    hot segment value (e.g. millions of near-black thumbnails) take the
+    documented salt split of the text stack; this path stays simple
+    because the segment value space (2^13+ per segment) spreads organic
+    image corpora well."""
+    segs = simhash_segments(max_dist, sig_len=64)
+    seg_rows = sigs.select(
+        F.col(id_col).alias("iid"),
+        "dhash",
+        "h_hi",
+        "h_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.substring("dhash", start, length).alias("segv"),
+                    )
+                    for s, (start, length) in enumerate(segs)
+                ]
+            )
+        ).alias("sv"),
+    ).select(
+        "iid", "dhash", "h_hi", "h_lo",
+        F.col("sv.seg").alias("seg"), F.col("sv.segv").alias("segv"),
+    )
+    a = seg_rows.select(
+        F.col("iid").alias("id_a"), F.col("dhash").alias("da"),
+        F.col("h_hi").alias("hi_a"), F.col("h_lo").alias("lo_a"),
+        "seg", "segv",
+    )
+    b = seg_rows.select(
+        F.col("iid").alias("id_b"), F.col("dhash").alias("db"),
+        F.col("h_hi").alias("hi_b"), F.col("h_lo").alias("lo_b"),
+        "seg", "segv",
+    )
+    pairs = a.join(b, ["seg", "segv"]).filter(F.col("id_a") < F.col("id_b"))
+    dist = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    # report-once: keep the pair only in the FIRST segment where the two
+    # signatures agree (recomputed from the carried strings — a filter)
+    first_agree = F.coalesce(
+        *[
+            F.when(
+                F.substring("da", start, length)
+                == F.substring("db", start, length),
+                F.lit(s),
+            )
+            for s, (start, length) in enumerate(segs)
+        ]
+    )
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("seg") == first_agree)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -513,3 +513,57 @@ def chip_content_hash(chips: DataFrame, fmt: str = "raw") -> DataFrame:
 
     cols = ["tile_id", "dataset", "payload", "dtype", "height", "width", "bands", "status"]
     return chips.select(*cols).mapInPandas(run, CONTENT_HASH_SCHEMA)
+
+
+DHASH_SCHEMA = (
+    "tile_id string, media_ref string, dhash string, h_hi long, h_lo long"
+)
+
+
+def image_dhash(chips: DataFrame, fmt: str = "raw") -> DataFrame:
+    """Perceptual difference hash (dHash) per chip — the near-duplicate
+    signature for IMAGES the way MinHash is for text: grayscale by
+    exact-integer floor-mean over bands, resize to 8x9 with
+    :func:`bilinear_resize_uint8` (the byte-exact integer resize a SQL
+    twin replays), then 64 bits ``g[y, x+1] > g[y, x]`` row-major.  A
+    re-encode / small perturbation moves few bits; distinct images land
+    ~32 bits apart.
+
+    Output: the 64-char '0'/'1' string (segment keys for the pigeonhole
+    join) plus the hash split into two 32-bit halves ``(h_hi, h_lo)`` so
+    the exact Hamming refine is ``bit_count(xor)`` on longs in BOTH
+    engines — never 64 per-character comparisons in the hot join path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.status != "ok":
+                    continue
+                arr = _decode(r.payload, fmt, r.dtype, r.height, r.width, r.bands)
+                if arr.ndim == 3:
+                    gray = (
+                        arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+                    ).astype(np.uint8)
+                else:
+                    gray = arr.astype(np.uint8)
+                g = bilinear_resize_uint8(gray, 8, 9).astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8).ravel()
+                bstr = "".join("1" if b else "0" for b in bits)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                rows.append(
+                    {
+                        "tile_id": r.tile_id,
+                        "media_ref": f"{r.dataset}/{r.tile_id}",
+                        "dhash": bstr,
+                        "h_hi": int(val >> 32),
+                        "h_lo": int(val & 0xFFFFFFFF),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    cols = ["tile_id", "dataset", "payload", "dtype", "height", "width", "bands", "status"]
+    return chips.select(*cols).mapInPandas(run, DHASH_SCHEMA)

@@ -68,6 +68,8 @@ def _gate(spark, con, name):
         "span_pii_scrub",
         "bpe_pair_counts",
         "multimodal_dedup",
+        "image_dhash",
+        "image_dhash_pairs",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

@@ -1923,3 +1923,82 @@ class TestMultimodalDedup:
             ",".join(map(str, arr.transpose(2, 0, 1).ravel().tolist())).encode()
         ).hexdigest()
         assert got["chash"] == want and got["n_pixels"] == 27
+
+
+class TestImageDhash:
+    def _chips(self, spark, arrays):
+        rows = [
+            (tid, "ds", a.tobytes(), "uint8", a.shape[0], a.shape[1],
+             1 if a.ndim == 2 else a.shape[2], "ok")
+            for tid, a in arrays
+        ]
+        return spark.createDataFrame(
+            rows,
+            "tile_id string, dataset string, payload binary, dtype string, "
+            "height int, width int, bands int, status string",
+        )
+
+    def test_hand_computed_8x9(self, spark):
+        """An 8x9 single-band chip needs no resize: bits are the raw
+        column differences."""
+        import numpy as np
+        from geetiles_spark.operators import multimodal
+
+        a = np.zeros((8, 9), dtype=np.uint8)
+        a[:, 1::2] = 200  # alternating columns: bits 10101010 per row
+        got = multimodal.image_dhash(self._chips(spark, [("t", a)])).first()
+        assert got["dhash"] == "10101010" * 8
+        val = int(got["dhash"], 2)
+        assert got["h_hi"] == val >> 32 and got["h_lo"] == val & 0xFFFFFFFF
+
+    def test_one_pixel_perturbation_moves_few_bits(self, spark):
+        import numpy as np
+        from geetiles_spark.operators import multimodal
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        b = a.copy()
+        b[0, 0, 0] = (int(b[0, 0, 0]) + 1) % 256
+        c = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)  # unrelated
+        out = {
+            r["tile_id"]: r
+            for r in multimodal.image_dhash(
+                self._chips(spark, [("a", a), ("near", b), ("other", c)])
+            ).collect()
+        }
+        ham = lambda x, y: sum(
+            c1 != c2 for c1, c2 in zip(out[x]["dhash"], out[y]["dhash"])
+        )
+        assert ham("a", "near") <= 1
+        assert ham("a", "other") > 10
+
+    def test_pairs_match_brute(self, spark):
+        """Pigeonhole join == brute-force Hamming scan (recall 1 at the
+        threshold), report-once (no duplicate pairs)."""
+        import numpy as np
+        from geetiles_spark.operators import dedup, multimodal
+
+        rng = np.random.default_rng(4)
+        base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        arrays = [("t00", base)]
+        for i in range(1, 12):
+            m = base.copy()
+            # increasingly perturbed copies
+            m[: i * 2, : i * 2, :] = rng.integers(0, 256, (i * 2, i * 2, 3))
+            arrays.append((f"t{i:02d}", m))
+        sigs = multimodal.image_dhash(self._chips(spark, arrays))
+        rows = {r["tile_id"]: r["dhash"] for r in sigs.collect()}
+        ids = sorted(rows)
+        brute = sorted(
+            (a, b, sum(x != y for x, y in zip(rows[a], rows[b])))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if sum(x != y for x, y in zip(rows[a], rows[b])) <= 6
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.dhash_hamming_pairs(sigs, max_dist=6).collect()
+        )
+        assert got == brute
+        assert len(got) == len({(a, b) for a, b, _ in got})  # report-once
+        assert len(got) > 0
