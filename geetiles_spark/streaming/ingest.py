@@ -558,3 +558,79 @@ def stream_dedup_within_watermark(
         .outputMode("append"),
     )
     return _await_appended_total(spark, q)
+
+
+def stream_spatial_ingest(
+    spark: SparkSession,
+    points_dir: str,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "points_s2",
+    part_level: int = 8,
+    leaf_level: int = 20,
+    max_files_per_trigger: int = 64,
+) -> int:
+    """Streaming point ingest -> S2-clustered catalog table: each
+    micro-batch runs the UNCHANGED batch key step
+    (:func:`..operators.spatial_store.with_s2_keys`) inside
+    ``foreachBatch`` and lands via a PARTITION-SCOPED merge — only the
+    coarse S2 partitions the batch touches are rewritten, every other
+    partition is hard-linked into the new snapshot (the Iceberg
+    file-granular COW shape; a planetary table absorbs a regional batch
+    by rewriting that region only).
+
+    ``partition_scoped=True`` is sound here by the merge contract: a
+    point's partition value is a deterministic function of its immutable
+    (lon, lat), so a re-delivered key can never have moved partitions —
+    which also makes the checkpoint-replayed at-least-once delivery
+    exactly-once (idempotent upsert on ``id``).
+
+    AOI reads (:func:`..operators.spatial_store.read_aoi`) serve from the
+    latest snapshot between batches.  Hilbert order WITHIN rewritten
+    partitions is not maintained by the merge; run ``catalog.compact``
+    as the sort-maintenance step (the Iceberg rewrite-data-files analog).
+    One lineage row per commit.  Returns rows processed this pass."""
+    from ..operators import spatial_store as ss
+
+    stream = (
+        spark.readStream.schema("id long, lon double, lat double")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(points_dir)
+    )
+    processed = [0]
+    smeta = {
+        "spatial_index": "s2",
+        "part_level": part_level,
+        "leaf_level": leaf_level,
+        "lon_col": "lon",
+        "lat_col": "lat",
+    }
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        rows = batch_df.count()
+        if rows == 0:
+            return
+        batch = batch_df.repartition(spark.sparkContext.defaultParallelism)
+        keyed = (
+            ss.with_s2_keys(batch, part_level=part_level, leaf_level=leaf_level)
+            .repartition("s2_part")
+            .sortWithinPartitions("s2_part", "s2_leaf")
+        )
+        catalog.merge_upsert(
+            spark, keyed, table, keys=["id"], meta=smeta,
+            partition_by=["s2_part"], partition_scoped=True,
+        )
+        catalog.log_metrics(
+            spark, job="stream_spatial_ingest", stage=f"batch-{batch_id}",
+            df_out=keyed, extra={"rows": rows},
+        )
+        processed[0] += rows
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return processed[0]

@@ -303,3 +303,98 @@ class TestPartitionScopedMerge:
         got = {(r["part"], r["id"]): r["v"]
                for r in cat.read(spark, "t").collect()}
         assert len(got) == 20 and got[(2, 0)] == -5.0 and got[(0, 4)] == 4.0
+
+
+class TestStreamSpatialIngest:
+    def test_stream_builds_s2_store(self, spark, tmp_path):
+        """Streaming points -> S2-clustered table via partition-scoped
+        merge: multi-batch == batch result, mid-stream AOI reads serve the
+        latest snapshot, checkpoint replay idempotent, regional batch
+        rewrites only its region's partitions (the rest hard-linked)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from geetiles_spark.catalog import Catalog
+        from geetiles_spark.operators import spatial_store as ss
+        from geetiles_spark.streaming import ingest
+
+        def pts(lo, hi, lon0):
+            return spark.range(lo, hi).select(
+                "id",
+                (F.lit(lon0) + (F.abs(F.hash("id")) % 2000) / 1000.0).alias("lon"),
+                (F.lit(44.0) + (F.abs(F.hash(F.col("id") * 7 + 3)) % 2000) / 1000.0).alias("lat"),
+            )
+
+        pdir = tmp_path / "pts"
+        pdir.mkdir()
+        west = pts(0, 3000, -3.0)     # lon [-3, -1]
+        east = pts(3000, 6000, 4.0)   # lon [4, 6] — disjoint region
+        west.coalesce(1).write.mode("append").parquet(str(pdir))
+        cat = Catalog(str(tmp_path / "cat"))
+        ck = str(tmp_path / "ck")
+
+        n = ingest.stream_spatial_ingest(
+            spark, str(pdir), cat, ck, part_level=6, max_files_per_trigger=1
+        )
+        assert n == 3000
+
+        # mid-stream AOI read == plain filter over what's ingested so far
+        aoi = (-2.5, 44.2, -1.5, 45.0)
+        got = sorted(
+            r["id"] for r in ss.read_aoi(cat, spark, "points_s2", *aoi)
+            .select("id").collect()
+        )
+        want = sorted(
+            r["id"] for r in west.where(
+                f"lon >= {aoi[0]} AND lon <= {aoi[2]} "
+                f"AND lat >= {aoi[1]} AND lat <= {aoi[3]}"
+            ).select("id").collect()
+        )
+        assert got == want and len(got) > 0
+
+        # idempotent restart: nothing new
+        snaps = len(cat.snapshots("points_s2"))
+        assert ingest.stream_spatial_ingest(
+            spark, str(pdir), cat, ck, part_level=6
+        ) == 0
+        assert len(cat.snapshots("points_s2")) == snaps
+
+        # disjoint eastern batch: merged; western partitions carried by
+        # hard links (st_nlink > 1), not rewritten
+        east.coalesce(1).write.mode("append").parquet(str(pdir))
+        assert ingest.stream_spatial_ingest(
+            spark, str(pdir), cat, ck, part_level=6
+        ) == 3000
+        full = cat.read(spark, "points_s2")
+        assert full.count() == 6000
+        snap_dir = cat.snapshot_path("points_s2")
+        linked = 0
+        for d in os.listdir(snap_dir):
+            if not d.startswith("s2_part="):
+                continue
+            for f in os.listdir(os.path.join(snap_dir, d)):
+                if f.endswith(".parquet"):
+                    if os.stat(os.path.join(snap_dir, d, f)).st_nlink > 1:
+                        linked += 1
+        assert linked > 0, "untouched partitions should be hard-linked"
+
+        # final read equals the union, through the pruned AOI path too
+        aoi_e = (4.2, 44.2, 5.5, 45.5)
+        got_e = sorted(
+            r["id"] for r in ss.read_aoi(cat, spark, "points_s2", *aoi_e)
+            .select("id").collect()
+        )
+        want_e = sorted(
+            r["id"] for r in east.where(
+                f"lon >= {aoi_e[0]} AND lon <= {aoi_e[2]} "
+                f"AND lat >= {aoi_e[1]} AND lat <= {aoi_e[3]}"
+            ).select("id").collect()
+        )
+        assert got_e == want_e and len(got_e) > 0
+
+        # lineage: one ts per commit
+        m = cat.read_metrics(spark).filter(
+            F.col("job") == "stream_spatial_ingest"
+        )
+        assert m.select("ts").distinct().count() == 2
