@@ -477,6 +477,50 @@ def _q_audio_chip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_stats(clips).orderBy("tile_id")
 
 
+def _audio_fixture_clips(spark: SparkSession) -> DataFrame:
+    """Pattern PCM clips + a 'near-' copy of each with sample 0 bumped by
+    +1 (int16 wrap) — the controlled near-duplicate the SQL twin
+    re-derives (oracle_sql.audio_fingerprint_oracle_sql tiles2 CTE)."""
+    import numpy as np
+
+    from geetiles_spark.sources import audio as audiosrc
+
+    tiles = _fixture_tiles(spark)
+    clips = audiosrc.generate_audio(tiles, "patternpcm-2020")
+
+    def bump(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(p, dtype="<i2").copy()
+                a[0] = np.int16(((int(a[0]) + 1 + 32768) % 65536) - 32768)
+                out.append(a.tobytes())
+            pdf["payload"] = out
+            pdf["tile_id"] = "near-" + pdf["tile_id"]
+            yield pdf
+
+    return clips.unionByName(clips.mapInPandas(bump, clips.schema))
+
+
+def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprint (loudness-contour bits over exact
+    integer envelope windows): every bit + both 32-bit halves value-hashed
+    against the SQL twin that re-generates each PCM sample."""
+    return multimodal.audio_fingerprint(_audio_fixture_clips(spark)).orderBy(
+        "tile_id"
+    )
+
+
+def _q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs through the SAME pigeonhole Hamming join
+    as images (`dedup.dhash_hamming_pairs` — one near-dup shape across
+    modalities), checked against the brute SQL Hamming scan; every 'near-'
+    clip must pair with its source at dist <= 1."""
+    sigs = multimodal.audio_fingerprint(_audio_fixture_clips(spark))
+    return dedup.dhash_hamming_pairs(sigs, max_dist=4).orderBy("id_a", "id_b")
+
+
 def _q_image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-image modality (REAL decode path — pure-stdlib PNG codec,
     VERDICT r4 #2): per-tile closed-form pixels -> filtered scanlines ->
@@ -2644,6 +2688,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup": _q_multimodal_dedup,
         "image_dhash": _q_image_dhash,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "audio_fingerprint": _q_audio_fingerprint,
+        "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
     }
 
 
@@ -2676,6 +2722,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "multimodal_dedup": _oracle_mod().multimodal_dedup_oracle_sql(500),
         "image_dhash": _oracle_mod().image_dhash_oracle_sql(500),
         "image_dhash_pairs": _oracle_mod().image_dhash_oracle_sql(
+            500, pairs=True
+        ),
+        "audio_fingerprint": _oracle_mod().audio_fingerprint_oracle_sql(500),
+        "audio_fingerprint_pairs": _oracle_mod().audio_fingerprint_oracle_sql(
             500, pairs=True
         ),
         # geo_random_partitions: seeded recursion, rows-only by design —

@@ -1477,3 +1477,71 @@ WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
       <= {max_dist}
 ORDER BY id_a, id_b
 """
+
+
+def audio_fingerprint_oracle_sql(
+    chip_size_m: float,
+    dataset: str = "patternpcm-2020",
+    n_samples: int = 1600,
+    n_windows: int = 65,
+    pairs: bool = False,
+    max_dist: int = 4,
+) -> str:
+    """Audio-fingerprint oracle: the closed-form PCM waveform, |x| summed
+    into the SAME ragged integer windows (sample i -> (i*W)//n), contour
+    bits via lead(), the 64-char bitstring + 32-bit halves; ``pairs=True``
+    emits the brute Hamming pairs.  Includes the contract's 'near-' copies
+    (sample 0 bumped by +1 with int16 wrap)."""
+    body, last = _grid_with(chip_size_m)
+    seed = tm_sql._Chain(f"SELECT tile_id FROM {last}", "afseed")
+    tm_sql.add_hex_prefix_int(seed, f"'{dataset}/' || tile_id", 12, "seed")
+    head = f"""
+WITH {body},
+{seed.render()},
+tiles2 AS (
+  SELECT tile_id, seed, 0 AS bump FROM {seed.last()}
+  UNION ALL
+  SELECT 'near-' || tile_id, seed, 1 FROM {seed.last()}
+),
+samples AS (
+  SELECT t.tile_id, g.i,
+         CASE WHEN g.i = 0 AND t.bump = 1
+              THEN (((t.seed % 65536) + 1) % 65536) - 32768
+              ELSE ((t.seed + 7919 * g.i) % 65536) - 32768 END AS x
+  FROM tiles2 t, generate_series(0, {n_samples - 1}) g(i)
+),
+env AS (
+  SELECT tile_id, (i * {n_windows}) // {n_samples} AS k,
+         sum(abs(x)) AS e
+  FROM samples GROUP BY tile_id, (i * {n_windows}) // {n_samples}
+),
+bits AS (
+  SELECT tile_id, k,
+         CASE WHEN lead(e) OVER (PARTITION BY tile_id ORDER BY k) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM env QUALIFY k < {n_windows - 1}
+),
+hashes AS (
+  SELECT tile_id,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS dhash,
+         CAST(sum(CASE WHEN k < 32
+                       THEN bit * power(2, 31 - k) ELSE 0 END) AS BIGINT)
+           AS h_hi,
+         CAST(sum(CASE WHEN k >= 32
+                       THEN bit * power(2, 63 - k) ELSE 0 END) AS BIGINT)
+           AS h_lo
+  FROM bits GROUP BY tile_id
+)"""
+    if not pairs:
+        return head + """
+SELECT tile_id, dhash, h_hi, h_lo FROM hashes ORDER BY tile_id
+"""
+    return head + f"""
+SELECT a.tile_id AS id_a, b.tile_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
+FROM hashes a JOIN hashes b ON a.tile_id < b.tile_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+      <= {max_dist}
+ORDER BY id_a, id_b
+"""

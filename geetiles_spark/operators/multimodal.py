@@ -567,3 +567,47 @@ def image_dhash(chips: DataFrame, fmt: str = "raw") -> DataFrame:
 
     cols = ["tile_id", "dataset", "payload", "dtype", "height", "width", "bands", "status"]
     return chips.select(*cols).mapInPandas(run, DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "tile_id string, dhash string, h_hi long, h_lo long"
+
+
+def audio_fingerprint(audio: DataFrame, n_windows: int = 65) -> DataFrame:
+    """Perceptual audio fingerprint — the waveform analog of
+    :func:`image_dhash`, all exact-integer so a SQL twin re-derives every
+    bit: the int16 PCM clip splits into ``n_windows`` ragged windows
+    (sample i -> window ``(i * W) // n``, the same integer assignment in
+    both engines), the envelope is the window's sum of |x|, and bit k is
+    ``env[k+1] > env[k]`` — 64 bits of loudness CONTOUR, robust to small
+    sample perturbations, ~32 bits apart for unrelated clips.  Output
+    schema matches :data:`DHASH_SCHEMA` minus media_ref, so
+    :func:`..operators.dedup.dhash_hamming_pairs` pairs audio unchanged —
+    one near-dup join shape across text/image/audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.abs(np.frombuffer(r.payload, dtype="<i2").astype(np.int64))
+                n = len(x)
+                k = (np.arange(n, dtype=np.int64) * n_windows) // n
+                env = np.bincount(k, weights=x, minlength=n_windows).astype(
+                    np.int64
+                )
+                bits = (env[1:] > env[:-1]).astype(np.uint8)
+                bstr = "".join("1" if b else "0" for b in bits)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                rows.append(
+                    {
+                        "tile_id": r.tile_id,
+                        "dhash": bstr,
+                        "h_hi": int(val >> 32),
+                        "h_lo": int(val & 0xFFFFFFFF),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return audio.select("tile_id", "payload").mapInPandas(run, AUDIO_FP_SCHEMA)

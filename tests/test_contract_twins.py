@@ -70,6 +70,8 @@ def _gate(spark, con, name):
         "multimodal_dedup",
         "image_dhash",
         "image_dhash_pairs",
+        "audio_fingerprint",
+        "audio_fingerprint_pairs",
     ],
 )
 def test_extras_pass_driver_gate(spark, con, name):

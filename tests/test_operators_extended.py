@@ -2002,3 +2002,39 @@ class TestImageDhash:
         assert got == brute
         assert len(got) == len({(a, b) for a, b, _ in got})  # report-once
         assert len(got) > 0
+
+
+class TestAudioFingerprint:
+    def test_contour_and_robustness(self, spark):
+        import numpy as np
+        from geetiles_spark.operators import dedup, multimodal
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(-30000, 30000, 1600).astype("<i2")
+        near = base.copy()
+        near[0] = np.int16(((int(near[0]) + 1 + 32768) % 65536) - 32768)
+        other = rng.integers(-30000, 30000, 1600).astype("<i2")
+        clips = spark.createDataFrame(
+            [("a", base.tobytes()), ("near", near.tobytes()),
+             ("other", other.tobytes())],
+            "tile_id string, payload binary",
+        )
+        sigs = multimodal.audio_fingerprint(clips)
+        rows = {r["tile_id"]: r for r in sigs.collect()}
+        assert all(len(r["dhash"]) == 64 for r in rows.values())
+        ham = lambda x, y: sum(
+            c1 != c2 for c1, c2 in zip(rows[x]["dhash"], rows[y]["dhash"])
+        )
+        assert ham("a", "near") <= 1
+        assert ham("a", "other") > 10
+        # halves reconstruct the bitstring
+        for r in rows.values():
+            val = int(r["dhash"], 2)
+            assert r["h_hi"] == val >> 32 and r["h_lo"] == val & 0xFFFFFFFF
+        # the image pair machinery works unchanged on audio signatures
+        pairs = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in dedup.dhash_hamming_pairs(sigs, max_dist=4).collect()
+        }
+        assert ("a", "near") in pairs and pairs[("a", "near")] <= 1
+        assert not any("other" in p for p in pairs)
