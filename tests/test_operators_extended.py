@@ -2038,3 +2038,46 @@ class TestAudioFingerprint:
         }
         assert ("a", "near") in pairs and pairs[("a", "near")] <= 1
         assert not any("other" in p for p in pairs)
+
+
+class TestImageNearDupGroups:
+    def test_dhash_pairs_compose_with_components(self, spark):
+        """The image near-dup pipeline end-to-end: dHash -> pigeonhole
+        Hamming pairs -> the UNCHANGED connected_components grouping
+        (operator reuse across modalities is the design: pairs of any
+        provenance feed the same clustering stage)."""
+        import numpy as np
+        from geetiles_spark.operators import dedup, multimodal
+
+        rng = np.random.default_rng(21)
+        # two clusters of near-identical images + one singleton
+        a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        arrays = [("a0", a), ("b0", b)]
+        for i in (1, 2):
+            for tag, base in (("a", a), ("b", b)):
+                m = base.copy()
+                m[0, i, 0] += np.uint8(i)
+                arrays.append((f"{tag}{i}", m))
+        arrays.append(
+            ("lone", rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+        )
+        chips = spark.createDataFrame(
+            [
+                (tid, "ds", arr.tobytes(), "uint8", 32, 32, 3, "ok")
+                for tid, arr in arrays
+            ],
+            "tile_id string, dataset string, payload binary, dtype string, "
+            "height int, width int, bands int, status string",
+        )
+        sigs = multimodal.image_dhash(chips)
+        pairs = dedup.dhash_hamming_pairs(sigs, max_dist=6)
+        comp = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, a_col="id_a", b_col="id_b"
+            ).collect()
+        }
+        assert comp["a1"] == comp["a2"] == comp["a0"] == "a0"
+        assert comp["b1"] == comp["b2"] == comp["b0"] == "b0"
+        assert "lone" not in comp  # no pairs -> not in the graph
