@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import cache
+from .partitioning import spread
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -195,17 +196,34 @@ def lsh_candidate_pairs(
     of emitted pairs from 0.34 to 0.035.
     """
     rows_per_band = num_hashes // bands
+    # the shingle+md5 map stage does ~300x the scan's work; a starved scan
+    # (single-row-group parquet) would pin it to 1-2 cores.  The doc_id key
+    # makes the repartition double as the signature groupBy's exchange.
+    docs = spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
 
     decode = None
     if encode_ids:
         # dictionary-encode BEFORE shingling: one dim-sized distinct +
         # decode join, in exchange for 8-byte ids through the (band x
-        # replicated, pair x2) hot path of the plan
+        # replicated, pair x2) hot path of the plan.  enc_id is DERIVED
+        # (xxhash64), not assigned (ADVICE r6: monotonically_increasing_id
+        # under a lazy persist recomputes nondeterministically after block
+        # loss, so encode and decode joins could disagree); a dim-sized
+        # distinct-count action verifies injectivity on this corpus and
+        # refuses to proceed on a collision instead of emitting wrong pairs
         ids = cache.track(
             docs.select(F.col(id_col).alias("orig"))
             .distinct()
-            .withColumn("enc_id", F.monotonically_increasing_id())
+            .withColumn("enc_id", F.xxhash64("orig"))
         )
+        n_ids, n_enc = ids.agg(
+            F.count(F.lit(1)), F.countDistinct("enc_id")
+        ).first()
+        if n_ids != n_enc:
+            raise RuntimeError(
+                "encode_ids: xxhash64 collision over the id dictionary "
+                f"({n_ids} ids -> {n_enc} codes); rerun with encode_ids=False"
+            )
         orig_type = docs.schema[id_col].dataType
         docs = docs.join(ids, docs[id_col] == ids["orig"]).select(
             F.col("enc_id").alias(id_col), F.col(text_col)
@@ -325,6 +343,7 @@ def simhash_signatures(
     """16-bit SimHash over whitespace tokens: bit j = majority vote of the
     MSB of hex digit j of md5(token).  Output (doc_id, simhash: string of
     '0'/'1' x16) — pure column expressions, reproducible in SQL."""
+    docs = spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -498,7 +517,8 @@ def ngram_jaccard_pairs(
     beyond one map-side-combined frequency agg.
     """
     grams = (
-        docs.select(
+        spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), " ").alias("toks"),
         )
@@ -511,8 +531,15 @@ def ngram_jaccard_pairs(
                         lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
                     )
                 )
-            ).alias("gram"),
+            ).alias("gram_s"),
         )
+        # the join/agg machinery never needs the gram TEXT, only set
+        # identity: an 8-byte xxhash64 key shuffles ~2.5x fewer bytes than
+        # the gram string and compares as one long (guide §2.3 "shuffle
+        # keys and metadata instead of payloads"); 64-bit collisions are
+        # birthday-negligible at any realistic distinct-gram cardinality
+        # and the DuckDB twin gate pins the results
+        .select("doc_id", F.xxhash64("gram_s").alias("gram"))
     )
     grams = cache.track(grams)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -559,8 +586,20 @@ def ngram_jaccard_pairs(
             )
         )
         all_pairs = cold_pairs.unionByName(hot_pairs)
-    inter = all_pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("n_inter")
+    # pair-count aggregation: an explicit repartition on the pair key turns
+    # the groupBy into ONE complete HashAggregate instead of partial+final.
+    # Partial aggregation is structurally useless here — a pair's duplicate
+    # rows live in DIFFERENT gram granules, so the chance two land in the
+    # same map partition is ~1/partitions regardless of corpus duplication
+    # — yet it would probe a hash map with every one of the O(sum df^2)
+    # join rows.  2x parallelism keeps per-task agg maps small enough to
+    # stay on the codegen fast path (measured 16s -> 6.5s on a 114M-pair
+    # stream at local[32], and far lower variance).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    inter = (
+        all_pairs.repartition(2 * par, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
@@ -725,7 +764,8 @@ def _dup_window_positions(
         ),
     ).otherwise(F.array().cast("array<string>"))
     pos = (
-        docs.select(
+        spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), " ").alias("t"),
         )
@@ -892,9 +932,12 @@ def paragraph_dedup(
     filter leaves, so survivors regroup without a second pass.  No pair
     materialization; output is O(documents).
     """
-    paras = docs.select(
+    # F.split treats the separator as a Java regex (ADVICE r6: '||' or '. '
+    # would silently mis-split) — quote it, Pattern.quote-style
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    paras = spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_rx, -1)).alias("pos", "para"),
     ).withColumn("para_h", F.md5(F.col("para")))
     firsts = paras.groupBy("para_h").agg(
         F.min(F.struct("doc_id", "pos")).alias("first")
@@ -955,12 +998,19 @@ def multimodal_dedup(
     )
     content = media_content.select("media_ref", "chash")
     # text spans carry media_ref = '' which matches no content row -> null
-    # chash -> '' after coalesce; one equi-join, no extra predicate needed
+    # chash -> '' after coalesce; one equi-join, no extra predicate needed.
+    # A MEDIA span with no content row (undecodable chip skipped upstream)
+    # falls back to a sentinel that still carries its media_ref (ADVICE r6:
+    # a bare '' would make two docs embedding DIFFERENT undecodable images
+    # fingerprint identically and silently drop one as a duplicate).
     joined = spans.join(
         content, spans["media_ref"] == content["media_ref"], "left"
     ).select(
         spans[id_col], "pos", "kind", "text",
-        F.coalesce("chash", F.lit("")).alias("chash"),
+        F.when(
+            (spans["kind"] == "media") & F.col("chash").isNull(),
+            F.concat(F.lit("missing:"), spans["media_ref"]),
+        ).otherwise(F.coalesce("chash", F.lit(""))).alias("chash"),
         F.when(spans["kind"] == "media", 1).otherwise(0).alias("is_media"),
     )
     elem = F.concat_ws("\x02", F.col("kind"), F.col("text"), F.col("chash"))

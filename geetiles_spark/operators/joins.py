@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 
 from .. import cache
 from ..geo import cells, geom, s2
+from .partitioning import spread
 
 # --------------------------------------------------------------------------
 # foreign-set representation
@@ -257,6 +258,58 @@ def _explode_cells(df: DataFrame, level: int, extra_cols: list[str]) -> DataFram
     return df.mapInPandas(run, schema)
 
 
+def _ref_cell_clamped(ref_x, ref_y, level: int, size: float):
+    """Report-once reference cell for a bbox-intersection corner, with the
+    SAME [0, 2^level - 1] index clamp ``cells.cell_id``/``cover_bbox``
+    apply (ADVICE r6: an unclamped corner at/past +180 lon or +90 lat put
+    the reference cell outside both sides' exploded covers, silently
+    dropping the overlapping pair)."""
+    nmax = (1 << level) - 1
+    ref_ix = F.least(
+        F.greatest(F.floor((ref_x + F.lit(180.0)) / F.lit(size)), F.lit(0)),
+        F.lit(nmax),
+    ).cast("long")
+    ref_iy = F.least(
+        F.greatest(F.floor((ref_y + F.lit(90.0)) / F.lit(size)), F.lit(0)),
+        F.lit(nmax),
+    ).cast("long")
+    return (
+        F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
+        + ref_ix * F.lit(1 << 29).cast("long")
+        + ref_iy
+    )
+
+
+def point_cell_expr(lon_col: str, lat_col: str, level: int):
+    """JVM column-expression twin of :func:`..geo.cells.cell_id` — identical
+    int64 ids for finite inputs, but whole-stage-codegen instead of an
+    ``ArrowEvalPython`` round-trip per point (optimization guide §4.1:
+    prefer built-ins; the pandas-UDF version serialized every point's
+    lon/lat out to Python and a long back per row)."""
+    size = cells.cell_size_deg(level)
+    nmax = (1 << level) - 1
+    ix = F.least(
+        F.greatest(F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(size)), F.lit(0)),
+        F.lit(nmax),
+    ).cast("long")
+    iy = F.least(
+        F.greatest(F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(size)), F.lit(0)),
+        F.lit(nmax),
+    ).cast("long")
+    return F.lit(level << 58).bitwiseOR(F.shiftleft(ix, 29)).bitwiseOR(iy)
+
+
+def _ring_is_declared_bbox(ring, minx, miny, maxx, maxy) -> bool:
+    """True iff ``ring`` (closed or open) is exactly the axis-aligned
+    rectangle with the given corners — the precondition for the codegen
+    bbox fast path of :func:`point_in_polygon_join`."""
+    r = geom.ring_close(np.asarray(ring, dtype=np.float64))
+    if r.shape[0] != 5:
+        return False
+    corners = {(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)}
+    return {(float(x), float(y)) for x, y in r[:4]} == corners
+
+
 def choose_level(foreign: DataFrame) -> int:
     """Cell level ~ median foreign bbox width: a foreign tile covers O(1)
     cells (small broadcast), a finer tile covers 1-2."""
@@ -316,14 +369,9 @@ def spatial_pairs_cell_join(
 
     # bbox overlap + report-once: keep the pair only in the cell that
     # contains the (max(minx), max(miny)) corner of the bbox intersection
-    ref_x = F.greatest("t_minx", "f_minx")
-    ref_y = F.greatest("t_miny", "f_miny")
-    ref_ix = F.floor((ref_x + F.lit(180.0)) / F.lit(size)).cast("long")
-    ref_iy = F.floor((ref_y + F.lit(90.0)) / F.lit(size)).cast("long")
-    ref_cell = (
-        F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
-        + ref_ix * F.lit(1 << 29).cast("long")
-        + ref_iy
+    ref_cell = _ref_cell_clamped(
+        F.greatest("t_minx", "f_minx"), F.greatest("t_miny", "f_miny"),
+        level, size,
     )
     pairs = joined.filter(
         (F.col("t_minx") <= F.col("f_maxx"))
@@ -500,15 +548,11 @@ def point_in_polygon_join(
     level = level or choose_level(polys)
     spark = points.sparkSession
 
-    @F.pandas_udf(T.LongType())
-    def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(cells.cell_id(lon.to_numpy(), lat.to_numpy(), level))
-
     pcells = points.select(
         F.col(id_col).alias("point_id"),
         F.col(lon_col).alias("lon"),
         F.col(lat_col).alias("lat"),
-    ).withColumn("cell", pt_cell("lon", "lat"))
+    ).withColumn("cell", point_cell_expr("lon", "lat", level))
 
     schema = T.StructType(
         [
@@ -558,17 +602,42 @@ def point_in_polygon_join(
     gcells = _explode_cells(
         polys.select(F.col("tile_id").alias("key"), "minx", "miny", "maxx", "maxy"),
         level,
-        [],
+        ["minx", "miny", "maxx", "maxy"],
     ).withColumnRenamed("key", "tile_id")
 
-    cand = pcells.join(F.broadcast(gcells), "cell").select(
-        "point_id", "lon", "lat", "tile_id"
-    )
+    cand = pcells.join(F.broadcast(gcells), "cell")
 
+    prows = polys.select(
+        "tile_id", "geometry_wkb", "minx", "miny", "maxx", "maxy"
+    ).collect()
     rings = {
-        r["tile_id"]: geom.wkb_to_polygon(bytes(r["geometry_wkb"]))
-        for r in polys.select("tile_id", "geometry_wkb").collect()
+        r["tile_id"]: geom.wkb_to_polygon(bytes(r["geometry_wkb"])) for r in prows
     }
+
+    # rectangle fast path: when every collected ring IS its declared bbox
+    # (admin grids, tile sets, the box-catalog contract), even-odd
+    # containment for non-boundary points reduces to the strict-open bbox
+    # predicate — the whole join stays in whole-stage codegen with NO
+    # Python refine at all (guide §4.1; boundary-degenerate points are
+    # already documented as unspecified in geom.points_in_polygon).
+    if all(
+        _ring_is_declared_bbox(
+            rings[r["tile_id"]], r["minx"], r["miny"], r["maxx"], r["maxy"]
+        )
+        for r in prows
+    ):
+        return cand.filter(
+            (F.col("lon") > F.col("minx")) & (F.col("lon") < F.col("maxx"))
+            & (F.col("lat") > F.col("miny")) & (F.col("lat") < F.col("maxy"))
+        ).select("point_id", "lon", "lat", "tile_id")
+
+    # generic rings: closed-bbox prefilter in codegen (a superset of the
+    # even-odd interior, so it never drops a point the refine would keep)
+    # cuts the rows that cross the Python boundary to near-final volume
+    cand = cand.filter(
+        (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
+    ).select("point_id", "lon", "lat", "tile_id")
     b = spark.sparkContext.broadcast(rings)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -753,16 +822,9 @@ def _interval_spatial_join_cells(
     # (tile, event) pair survives only in the cell containing the
     # lower-left corner of its bbox intersection — exactly one cell per
     # overlapping pair, so no distinct and no pair-keyed aggregate
-    ref_ix = F.floor(
-        (F.greatest("t_minx", "e_minx") + F.lit(180.0)) / F.lit(size)
-    ).cast("long")
-    ref_iy = F.floor(
-        (F.greatest("t_miny", "e_miny") + F.lit(90.0)) / F.lit(size)
-    ).cast("long")
-    ref_cell = (
-        F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
-        + ref_ix * F.lit(1 << 29).cast("long")
-        + ref_iy
+    ref_cell = _ref_cell_clamped(
+        F.greatest("t_minx", "e_minx"), F.greatest("t_miny", "e_miny"),
+        level, size,
     )
     cand = joined.filter(
         (F.col("t_minx") <= F.col("e_maxx"))
@@ -925,7 +987,13 @@ def knn_join(
                     {"query_id": qid, "point_id": ids[idx], "dist_m": d[idx]}
                 )
 
-    local = points.mapInPandas(local_topk, schema)
+    # NOT spread: measured at sf1.0 the single-split haversine task (0.9s)
+    # beats paying a 36 MB repartition first (1.4s) — the kernel is cheap
+    # enough per row that the shuffle never amortizes; callers with truly
+    # huge point sets arrive multi-split and parallelize naturally
+    local = points.select(id_col, lon_col, lat_col).mapInPandas(
+        local_topk, schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_m").asc(), F.col("point_id").asc()
     )
@@ -1020,15 +1088,21 @@ def knn_join_cells(
         level = 12
     enc = s2 if index == "s2" else cells
 
-    @F.pandas_udf(T.LongType())
-    def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(enc.cell_id(lon.to_numpy(), lat.to_numpy(), level))
+    if index == "s2":
+        # Hilbert curve encoding is a numpy kernel — stays Arrow-batched
+        @F.pandas_udf(T.LongType())
+        def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(enc.cell_id(lon.to_numpy(), lat.to_numpy(), level))
+
+        cell_col = pt_cell("lon", "lat")
+    else:
+        cell_col = point_cell_expr("lon", "lat", level)
 
     pts = points.select(
         F.col(id_col).alias("point_id"),
         F.col(lon_col).alias("lon"),
         F.col(lat_col).alias("lat"),
-    ).withColumn("cell", pt_cell("lon", "lat"))
+    ).withColumn("cell", cell_col)
 
     cand_rows = []
     if index == "s2":
@@ -1079,6 +1153,19 @@ def knn_join_cells(
                 )
                 + 1
             )
+            if r_ext > len(layers) - 1:
+                # sparse data pushed the exactness bound past the
+                # precomputed layers: extend the BFS on demand (ADVICE r6
+                # — truncating here silently broke the bit-identical
+                # guarantee vs knn_join)
+                layers = s2.bfs_rings(
+                    int(
+                        s2.cell_id(
+                            np.array([_qlon]), np.array([_qlat]), level
+                        )[0]
+                    ),
+                    r_ext,
+                )
             for rr in range(0, min(r_ext, len(layers) - 1) + 1):
                 for c in layers[rr]:
                     cand_rows.append({"query_id": qid, "cell": int(c)})
@@ -1102,7 +1189,10 @@ def knn_join_cells(
             # +1 ring insufficient for r >= 2)
             coslat = max(abs(np.cos(np.deg2rad(qlat))), 0.1)
             r_ext = int(np.ceil((ring + 1) * np.sqrt(2.0) / coslat)) + 1
-            for rr in range(0, min(r_ext, max_rings) + 1):
+            # r_ext may exceed max_rings on sparse data; ring_cells
+            # generates any radius, so cover the full exactness bound
+            # instead of truncating (mirror of the s2-path ADVICE fix)
+            for rr in range(0, r_ext + 1):
                 for c in cells.ring_cells(c0, rr):
                     cand_rows.append({"query_id": qid, "cell": int(c)})
 

@@ -192,6 +192,16 @@ def cosine_pairs(
     spark = embeddings.sparkSession
     n = n_hint if n_hint is not None else embeddings.count()
     n_blocks = max(1, -(-n // block_rows))
+    if n_blocks > 1:
+        # scale-adaptive block count (results identical for ANY n_blocks —
+        # blocks are hash buckets and every unordered block pair is visited
+        # exactly once): B(B+1)/2 matmul tasks should cover the executor
+        # pool with ~2x headroom, else a 5-block corpus runs 15 tasks on a
+        # 32-core pool and two thirds of it idles.  Bounded below by the
+        # block_rows sizing so huge corpora keep big BLAS-friendly blocks.
+        par = spark.sparkContext.defaultParallelism
+        b_for_pool = int(np.ceil(np.sqrt(4.0 * par)))
+        n_blocks = max(n_blocks, min(b_for_pool, -(-n // 256)))
 
     id_type = embeddings.schema[id_col].dataType
     schema = T.StructType(
