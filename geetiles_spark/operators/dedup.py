@@ -756,13 +756,18 @@ def _dup_window_positions(
       and it removes the lock contention entirely."""
     t = F.col("t")
     n_win = F.size(t) - (k - 1)
+    # the window hash is pure set identity — the output carries POSITIONS,
+    # never the hash — so xxhash64 replaces md5: cheaper to compute and the
+    # gram-count groupBy + semi-join shuffle an 8-byte long instead of a
+    # 32-char hex string (guide §2.3; the DuckDB twin's md5 formulation
+    # marks the identical positions, collision-negligible)
     wins = F.when(
         n_win >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     pos = (
         spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
         .select(

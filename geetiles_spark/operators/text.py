@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .partitioning import spread
+
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 _LANG_MARKERS = [
     ("en", ["the", "and", "of"]),
@@ -109,6 +111,7 @@ def repetition_signals(
     bounded) and join back on the doc id.  Rounded to 6 for cross-engine
     parity with the DuckDB oracle.
     """
+    docs = spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
     toks_arr = F.filter(
         F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
     )
@@ -197,7 +200,7 @@ def ngram_contamination(
             lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
         )
     )
-    grams = docs.select(
+    grams = spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("_tk"),
     ).select("doc_id", F.explode(grams_arr).alias("gram"))
@@ -429,7 +432,8 @@ def vocab_topk(
     from pyspark.sql.window import Window
 
     counts = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -517,7 +521,11 @@ def dsir_select(
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = (
-        docs.select(
+        spread(
+            docs.select(F.col(id_col), F.col(target_col), F.col(text_col)),
+            key=id_col,
+        )
+        .select(
             F.col(id_col).alias("doc_id"),
             (F.col(target_col) == target_value).alias("tgt"),
             F.split(F.col(text_col), " ").alias("t"),
@@ -626,7 +634,8 @@ def lm_perplexity(
     # cheap hoisted map passes beat caching an O(tokens) intermediate
     tok = F.col("t")
     big = (
-        docs.select(
+        spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), " ").alias("t"),
         )
