@@ -542,7 +542,9 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.xxhash64("gram_s").alias("gram"))
     )
     grams = cache.track(grams)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes = cache.track(
+        grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    )
     hot = cache.track(
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -601,6 +603,16 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # EXACT pre-filter from the global minimum doc size (one dim-sized
+    # action on the persisted sizes table): jaccard >= t requires
+    # n_inter >= t*(na+nb)/(1+t) >= t*2*min_size/(1+t), so pairs below the
+    # relaxed floor can never pass — on noise-dominated corpora this cuts
+    # the two size-attach join probes from O(all candidate pairs) to
+    # O(qualifying pairs) while provably changing nothing.
+    min_row = sizes.agg(F.min("n_grams")).first()
+    if min_row is not None and min_row[0] is not None:
+        need = int((threshold * 2 * int(min_row[0])) / (1.0 + threshold))
+        inter = inter.filter(F.col("n_inter") >= F.lit(need))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
