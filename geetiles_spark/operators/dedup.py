@@ -515,6 +515,18 @@ def ngram_jaccard_pairs(
     of D^2 — the total work is inherent to exact intersection counting; the
     salt spreads it.  Cold grams take the plain equi-join with no overhead
     beyond one map-side-combined frequency agg.
+
+    Two further EXACT prunes on the pair pipeline (round 7):
+
+    - length filter: jaccard <= min(na,nb)/max(na,nb) always, so the join
+      drops size-mismatched pairs BEFORE the pair exchange (the query's
+      largest shuffle).  The per-doc gram count rides on each gram row,
+      computed pre-explode at zero extra shuffle cost.
+    - packed pair key: when ids are provably non-negative ints < 2^31, the
+      (doc_a, doc_b) pair travels the exchange as ONE long and the pair agg
+      groups on a single 8-byte key; unpacked (and cast back to the input
+      dtype) only after the n_inter floor filter.  Generic ids keep the
+      two-column path.
     """
     grams = (
         spread(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
@@ -524,14 +536,26 @@ def ngram_jaccard_pairs(
         )
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-                    )
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
                 )
-            ).alias("gram_s"),
+            ).alias("gram_arr"),
+        )
+        # ng = the doc's distinct-gram count, computed BEFORE the explode so
+        # carrying it on every gram row costs zero extra shuffles/aggs; the
+        # join's exact length filter below needs it on both sides.
+        # explode_outer, NOT explode: gram_arr is never empty (sequence(0, x)
+        # has >= 1 element) so the two are result-identical, but plain
+        # explode makes InferFiltersFromGenerate add a size(gram_arr) > 0
+        # filter that pushdown moves BELOW the spread repartition — the full
+        # gram-array expression then re-evaluates on the starved scan
+        # (measured 13.5s vs 0.9s for this stage at 50k docs, local[32])
+        .select(
+            "doc_id",
+            F.size("gram_arr").alias("ng"),
+            F.explode_outer("gram_arr").alias("gram_s"),
         )
         # the join/agg machinery never needs the gram TEXT, only set
         # identity: an 8-byte xxhash64 key shuffles ~2.5x fewer bytes than
@@ -539,7 +563,7 @@ def ngram_jaccard_pairs(
         # keys and metadata instead of payloads"); 64-bit collisions are
         # birthday-negligible at any realistic distinct-gram cardinality
         # and the DuckDB twin gate pins the results
-        .select("doc_id", F.xxhash64("gram_s").alias("gram"))
+        .select("doc_id", "ng", F.xxhash64("gram_s").alias("gram"))
     )
     grams = cache.track(grams)
     sizes = cache.track(
@@ -557,27 +581,62 @@ def ngram_jaccard_pairs(
     ).first()
     est_pair_rows = int(est["s2"] or 0) // 2
     hot = gram_df.filter(F.col("df") > hot_doc_freq).select("gram")
+    # one dim-sized action on the persisted per-doc size table serves BOTH
+    # the exact min-size floor below AND (for integral ids) the packed-key
+    # bounds — the id range decides whether a pair can ride in ONE long
+    t = float(threshold)
+    id_dtype = grams.schema["doc_id"].dataType.simpleString()
+    if id_dtype in ("tinyint", "smallint", "int", "bigint"):
+        srow = sizes.agg(
+            F.min("n_grams").alias("mg"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        ).first()
+        lo, hi = srow["lo"], srow["hi"]
+    else:
+        srow = sizes.agg(F.min("n_grams").alias("mg")).first()
+        lo, hi = None, None
+    min_grams = srow["mg"] if srow is not None else None
+    # pack (doc_a, doc_b) into one long when ids provably fit in 32 bits:
+    # the pair exchange below is the query's largest shuffle, and one
+    # 8-byte key halves its payload vs two id columns (guide §2.3 narrower
+    # types) while the pair-agg compares a single long.  Injective by the
+    # range check, and the unpack below restores the original ids/dtype
+    # bit-for-bit; any other id type takes the generic two-column path.
+    use_packed = lo is not None and int(lo) >= 0 and int(hi) < (1 << 31)
+
+    def pair_rows(a_side: DataFrame, b_side: DataFrame, keys: list) -> DataFrame:
+        a, b = a_side.alias("a"), b_side.alias("b")
+        j = a.join(b, on=keys).filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # EXACT length filter (similarity-join literature): i <= min and
+            # union >= max give jaccard <= min(na,nb)/max(na,nb), so a pair
+            # whose sizes differ by more than the threshold ratio can never
+            # pass — pruned BEFORE the pair exchange, where it is cheapest.
+            # The -1 slack absorbs double rounding of t*ng for arbitrary t
+            # (never drops a boundary pair; keeps at most a sliver of
+            # sub-threshold rows the jaccard filter removes as before).
+            & (F.col("a.ng") >= t * F.col("b.ng") - 1)
+            & (F.col("b.ng") >= t * F.col("a.ng") - 1)
+        )
+        if use_packed:
+            return j.select(
+                (
+                    F.col("a.doc_id").cast("long") * F.lit(1 << 32)
+                    + F.col("b.doc_id").cast("long")
+                ).alias("pk")
+            )
+        return j.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
     # pay-as-you-go skew split (VERDICT r3 #2): the probe reads the
     # persisted map-side-combined agg; clean corpora take the plain join
     if est["max_df"] is None or int(est["max_df"]) <= hot_doc_freq:
-        all_pairs = (
-            grams.alias("a")
-            .join(grams.alias("b"), on="gram")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-        )
+        all_pairs = pair_rows(grams, grams, ["gram"])
     else:
         cold = grams.join(F.broadcast(hot), "gram", "left_anti")
-        cold_pairs = (
-            cold.alias("a")
-            .join(cold.alias("b"), on="gram")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-        )
+        cold_pairs = pair_rows(cold, cold, ["gram"])
         hot_rows = grams.join(F.broadcast(hot), "gram", "left_semi")
         ha = hot_rows.withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
@@ -585,14 +644,7 @@ def ngram_jaccard_pairs(
         hb = hot_rows.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
         )
-        hot_pairs = (
-            ha.alias("a")
-            .join(hb.alias("b"), on=["gram", "salt"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-        )
+        hot_pairs = pair_rows(ha, hb, ["gram", "salt"])
         all_pairs = cold_pairs.unionByName(hot_pairs)
     # pair-count aggregation: an explicit repartition on the pair key turns
     # the groupBy into ONE complete HashAggregate instead of partial+final.
@@ -603,25 +655,38 @@ def ngram_jaccard_pairs(
     # join rows (measured 16s -> 6.5s on a 114M-pair stream at local[32],
     # and far lower variance).  The partition count derives from the
     # measured join volume (sum(df^2)/2 rows, ~16 B each, ~48 MB per agg
-    # task) so per-task agg maps stay on the codegen fast path at ANY
-    # scale factor — floored at 2x parallelism, never fewer than before.
+    # task — a conservative over-estimate now that the length filter prunes
+    # before the exchange) so per-task agg maps stay on the codegen fast
+    # path at ANY scale factor — floored at 2x parallelism.
     par = docs.sparkSession.sparkContext.defaultParallelism
     n_agg_parts = max(2 * par, (est_pair_rows * 16) // (48 << 20) + 1)
-    inter = (
-        all_pairs.repartition(n_agg_parts, "doc_a", "doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    # EXACT pre-filter from the global minimum doc size (one dim-sized
-    # action on the persisted sizes table): jaccard >= t requires
-    # n_inter >= t*(na+nb)/(1+t) >= t*2*min_size/(1+t), so pairs below the
-    # relaxed floor can never pass — on noise-dominated corpora this cuts
-    # the two size-attach join probes from O(all candidate pairs) to
-    # O(qualifying pairs) while provably changing nothing.
-    min_row = sizes.agg(F.min("n_grams")).first()
-    if min_row is not None and min_row[0] is not None:
-        need = int((threshold * 2 * int(min_row[0])) / (1.0 + threshold))
+    if use_packed:
+        inter = (
+            all_pairs.repartition(n_agg_parts, "pk")
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            all_pairs.repartition(n_agg_parts, "doc_a", "doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    # EXACT pre-filter from the global minimum doc size (the srow action
+    # above): jaccard >= t requires n_inter >= t*(na+nb)/(1+t) >=
+    # t*2*min_size/(1+t), so pairs below the relaxed floor can never pass —
+    # on noise-dominated corpora this cuts the two size-attach join probes
+    # from O(all candidate pairs) to O(qualifying pairs) while provably
+    # changing nothing.
+    if min_grams is not None:
+        need = int((threshold * 2 * int(min_grams)) / (1.0 + threshold))
         inter = inter.filter(F.col("n_inter") >= F.lit(need))
+    if use_packed:
+        inter = inter.select(
+            F.shiftright("pk", 32).cast(id_dtype).alias("doc_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_dtype).alias("doc_b"),
+            "n_inter",
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")

@@ -212,6 +212,93 @@ def test_ngram_jaccard_exact_vs_bruteforce(spark):
     assert got == want
 
 
+def _brute_jaccard(texts, n=3, t=0.5):
+    import itertools
+
+    gs = {
+        i: {
+            " ".join(tk[j : j + n])
+            for j in range(max(len(tk) - n + 1, 1))
+        }
+        for i, tk in ((i, txt.split(" ")) for i, txt in texts.items())
+    }
+    out = {}
+    for x, y in itertools.combinations(sorted(gs), 2):
+        a, b = (x, y) if x < y else (y, x)
+        j = round(len(gs[a] & gs[b]) / len(gs[a] | gs[b]), 6)
+        if j >= t:
+            out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize(
+    "ids",
+    [
+        pytest.param([f"doc{i:03d}" for i in range(18)], id="string-ids"),
+        pytest.param([i - 4 for i in range(18)], id="negative-ids"),
+        pytest.param([(1 << 33) + i for i in range(18)], id="ids-past-2^31"),
+    ],
+)
+def test_ngram_packed_fallback_ids_exact(spark, ids):
+    # ids that cannot ride the packed single-long pair key must take the
+    # generic two-column path and stay exact (incl. the length filter)
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(8)]
+    base = list(rng.choice(vocab, 14))
+    texts = {}
+    for k, i in enumerate(ids):
+        if k < 5:
+            t = list(base)
+            if k:
+                t[k] = vocab[(k * 3) % 8]
+        else:
+            t = list(rng.choice(vocab, int(rng.integers(4, 25))))
+        texts[i] = " ".join(t)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # dtype must round-trip (packed path casts back; fallback never changes)
+    assert dict(out.dtypes)["doc_a"] == dict(docs.dtypes)["doc_id"]
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert got == _brute_jaccard(texts, t=0.5)
+
+
+def test_ngram_length_filter_keeps_boundary_pair(spark):
+    # A strict subset with |A| exactly t*|B| has jaccard exactly t — the
+    # join's length filter (min >= t*max) sits on its boundary and must keep
+    # the pair for ANY float rounding of t*ng (the -1 slack)
+    import pandas as pd
+
+    b_toks = [f"w{i}" for i in range(12)]  # 10 distinct trigrams
+    a_toks = b_toks[:7]  # 5 distinct trigrams, subset of B's
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [" ".join(a_toks), " ".join(b_toks)]})
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert got == {(0, 1): 0.5}
+
+
+def test_ngram_gram_build_not_refiltered_at_scan(spark):
+    # regression pin: carrying ng beside explode must use explode_outer so
+    # InferFiltersFromGenerate cannot push a size(array_distinct(...)) > 0
+    # re-evaluation of the whole gram expression below the spread exchange
+    # (measured 13.5s vs 0.9s on the gram stage at 50k docs)
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d", "b c d e"]})
+    )
+    plan = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Filter (size(array_distinct" not in plan
+
+
 # ---------------------------------------------------------------------------
 # paragraph separator quoting (ADVICE fix)
 # ---------------------------------------------------------------------------
